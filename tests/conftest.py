@@ -1,0 +1,31 @@
+"""Test config: force an 8-device virtual CPU mesh so sharding tests run anywhere.
+
+Must set XLA flags before jax initializes (SURVEY.md §4: mesh tests on CPU via
+xla_force_host_platform_device_count).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import pathlib  # noqa: E402
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+GOLDENS = pathlib.Path(__file__).parent / "goldens"
+
+
+@pytest.fixture(scope="session")
+def goldens():
+    def load(name):
+        path = GOLDENS / f"{name}.npz"
+        if not path.exists():
+            pytest.skip(f"golden file {path} missing — run tools/gen_goldens_*.py")
+        return np.load(path, allow_pickle=True)
+
+    return load
