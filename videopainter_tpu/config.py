@@ -81,7 +81,7 @@ class TransformerConfig:
     def tiny(cls, **kw) -> "TransformerConfig":
         """Small config for tests: same structure, tiny dims."""
         kw.setdefault("num_attention_heads", 2)
-        kw.setdefault("attention_head_dim", 8)
+        kw.setdefault("attention_head_dim", 16)  # head_dim//8*3 must be even for 3D RoPE
         kw.setdefault("num_layers", 2)
         kw.setdefault("time_embed_dim", 16)
         kw.setdefault("text_embed_dim", 12)

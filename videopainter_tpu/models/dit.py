@@ -1,0 +1,315 @@
+"""CogVideoX spatiotemporal diffusion transformer (DiT) — TPU-native.
+
+Reimplements the behavior of CogVideoXTransformer3DModel
+(cogvideox_transformer_3d.py:218-646) as pure functions over a parameter
+pytree:
+
+ - joint [text(226) ‖ video] token sequence, AdaLN-Zero conditioning
+ - per-layer branch-feature injection with optional mask gating (:596-609)
+ - resample-mask construction for ID-resampling attention (:534-548)
+ - cross-clip `prev_hidden_states` attention kwargs (:574-582, block :141-146)
+ - self-guidance hidden-state swap (:593-594)
+ - per-layer hidden-state capture for the any-length pipeline (:611-612)
+
+TPU-first design: the 42 blocks run under one `jax.lax.scan` over stacked
+block parameters (compile once, not 42×), with per-layer branch features
+gathered by a precomputed index array. Optional `jax.checkpoint` rematerializes
+blocks during training. Attention is the ops/attention contract (einsum
+reference or Pallas flash).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TransformerConfig
+from ..ops.attention import init_attention, joint_attention
+from ..ops.basic import init_layer_norm, init_linear, layer_norm, linear
+from ..ops.embeddings import init_timestep_mlp, timestep_embedding, timestep_mlp
+from ..ops.feed_forward import feed_forward, init_feed_forward
+from ..ops.norms import ada_layer_norm, init_ada_layer_norm, init_layer_norm_zero, layer_norm_zero
+from ..ops.patch_embed import init_patch_embed, patch_embed, unpatchify
+from ..ops.sincos import get_3d_sincos_pos_embed
+
+
+# ---------------------------------------------------------------------------
+# Single block
+# ---------------------------------------------------------------------------
+
+def dit_block(
+    bp: dict,
+    hidden_states: jnp.ndarray,                 # [B, S_vid, D]
+    encoder_hidden_states: Optional[jnp.ndarray],  # [B, S_text, D] | None
+    temb: jnp.ndarray,                          # [B, time_embed_dim]
+    rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+    *,
+    num_heads: int,
+    norm_eps: float = 1e-5,
+    resample_mask: Optional[jnp.ndarray] = None,
+    prev_hidden_states: Optional[jnp.ndarray] = None,   # [B, S_joint, D] raw (pre-norm)
+    prev_clip_weight: Optional[Any] = None,
+    prev_resample_mask: Optional[jnp.ndarray] = None,
+    use_flash: bool = False,
+):
+    """One CogVideoXBlock (cogvideox_transformer_3d.py:125-216).
+
+    encoder_hidden_states=None selects the `forward_wo_text` path (:186-216).
+    Returns (hidden_states, encoder_hidden_states|None).
+    """
+    wo_text = encoder_hidden_states is None
+    text_len = 0 if wo_text else encoder_hidden_states.shape[1]
+
+    norm_h, norm_e, gate_msa, enc_gate_msa = layer_norm_zero(
+        bp["norm1"], hidden_states, encoder_hidden_states, temb, eps=norm_eps)
+
+    norm_prev = None
+    if prev_hidden_states is not None:
+        # Block re-norms the raw previous-clip hidden states with norm1 and the
+        # current temb before attention (cogvideox_transformer_3d.py:141-146).
+        p_enc, p_vid = prev_hidden_states[:, :text_len], prev_hidden_states[:, text_len:]
+        np_vid, np_enc, _, _ = layer_norm_zero(bp["norm1"], p_vid, p_enc, temb, eps=norm_eps)
+        norm_prev = jnp.concatenate([np_enc, np_vid], axis=1)
+
+    attn_h, attn_e = joint_attention(
+        bp["attn1"], norm_h, norm_e,
+        num_heads=num_heads, rope=rope,
+        resample_mask=resample_mask,
+        prev_hidden_states=norm_prev,
+        prev_clip_weight=prev_clip_weight,
+        prev_resample_mask=prev_resample_mask,
+        use_flash=use_flash,
+    )
+
+    hidden_states = hidden_states + gate_msa * attn_h
+    if not wo_text:
+        encoder_hidden_states = encoder_hidden_states + enc_gate_msa * attn_e
+
+    norm_h, norm_e, gate_ff, enc_gate_ff = layer_norm_zero(
+        bp["norm2"], hidden_states, encoder_hidden_states, temb, eps=norm_eps)
+
+    if wo_text:
+        ff_out = feed_forward(bp["ff"], norm_h)
+        hidden_states = hidden_states + gate_ff * ff_out
+        return hidden_states, None
+
+    ff_out = feed_forward(bp["ff"], jnp.concatenate([norm_e, norm_h], axis=1))
+    hidden_states = hidden_states + gate_ff * ff_out[:, text_len:]
+    encoder_hidden_states = encoder_hidden_states + enc_gate_ff * ff_out[:, :text_len]
+    return hidden_states, encoder_hidden_states
+
+
+def init_dit_block(key, cfg: TransformerConfig, dtype=jnp.float32) -> dict:
+    ks = jax.random.split(key, 4)
+    d = cfg.inner_dim
+    return {
+        "norm1": init_layer_norm_zero(ks[0], cfg.time_embed_dim, d,
+                                      elementwise_affine=cfg.norm_elementwise_affine, dtype=dtype),
+        "attn1": init_attention(ks[1], d, num_heads=cfg.num_attention_heads,
+                                qk_norm=True, bias=cfg.attention_bias, dtype=dtype),
+        "norm2": init_layer_norm_zero(ks[2], cfg.time_embed_dim, d,
+                                      elementwise_affine=cfg.norm_elementwise_affine, dtype=dtype),
+        "ff": init_feed_forward(ks[3], d, dtype=dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Full transformer
+# ---------------------------------------------------------------------------
+
+class TransformerOutput(NamedTuple):
+    sample: jnp.ndarray                               # [B, T, H, W, out_C]
+    hidden_states_list: Optional[jnp.ndarray] = None  # [L, B, S_joint, D]
+    resample_mask: Optional[jnp.ndarray] = None       # bool [B, S_joint]
+
+
+class CogVideoXTransformer3D:
+    """Functional model wrapper: `init` builds the param pytree, `apply` runs it.
+
+    Patch-embed input channels can exceed cfg.in_channels (the SFT-inpaint
+    variant widens to in_channels*2+1, cogvideox_transformer_3d_inpainting.py:253-268)
+    via `patch_in_channels`.
+    """
+
+    def __init__(self, cfg: TransformerConfig, patch_in_channels: Optional[int] = None):
+        self.cfg = cfg
+        self.patch_in_channels = patch_in_channels or cfg.in_channels
+
+    # -- init ---------------------------------------------------------------
+    def init(self, key, dtype=jnp.float32) -> dict:
+        cfg = self.cfg
+        ks = jax.random.split(key, 6 + cfg.num_layers)
+        params: Dict[str, Any] = {
+            "patch_embed": init_patch_embed(
+                ks[0], patch_size=cfg.patch_size, in_channels=self.patch_in_channels,
+                embed_dim=cfg.inner_dim, text_embed_dim=cfg.text_embed_dim, dtype=dtype),
+            "time_embedding": init_timestep_mlp(ks[1], cfg.inner_dim, cfg.time_embed_dim, dtype=dtype),
+            "norm_final": init_layer_norm(cfg.inner_dim, affine=cfg.norm_elementwise_affine, dtype=dtype),
+            "norm_out": init_ada_layer_norm(ks[2], cfg.time_embed_dim, 2 * cfg.inner_dim,
+                                            elementwise_affine=cfg.norm_elementwise_affine, dtype=dtype),
+            "proj_out": init_linear(ks[3], cfg.inner_dim,
+                                    cfg.patch_size * cfg.patch_size * cfg.out_channels, dtype=dtype),
+        }
+        blocks = [init_dit_block(ks[6 + i], cfg, dtype=dtype) for i in range(cfg.num_layers)]
+        params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+        if not cfg.use_rotary_positional_embeddings or cfg.use_learned_positional_embeddings:
+            params["patch_embed"]["pos_embedding"] = jnp.asarray(
+                self._positional_embeddings(cfg.sample_height, cfg.sample_width, cfg.sample_frames),
+                dtype=dtype)
+        return params
+
+    def _positional_embeddings(self, sample_height, sample_width, sample_frames) -> np.ndarray:
+        """Joint [text-zeros ‖ 3D-sincos] table (embeddings.py:380-398)."""
+        cfg = self.cfg
+        p = cfg.patch_size
+        post_h = sample_height // p
+        post_w = sample_width // p
+        post_t = (sample_frames - 1) // cfg.temporal_compression_ratio + 1
+        pe = get_3d_sincos_pos_embed(
+            cfg.inner_dim, (post_w, post_h), post_t,
+            cfg.spatial_interpolation_scale, cfg.temporal_interpolation_scale)
+        pe = pe.reshape(-1, cfg.inner_dim)
+        joint = np.zeros((1, cfg.max_text_seq_length + pe.shape[0], cfg.inner_dim), dtype=np.float32)
+        joint[0, cfg.max_text_seq_length:] = pe
+        return joint
+
+    # -- apply --------------------------------------------------------------
+    def apply(
+        self,
+        params: dict,
+        hidden_states: jnp.ndarray,            # [B, T, H, W, C_in] latents (channel-last)
+        encoder_hidden_states: jnp.ndarray,    # [B, S_text, text_dim]
+        timestep: jnp.ndarray,                 # [B] or scalar
+        *,
+        rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        branch_block_samples: Optional[jnp.ndarray] = None,   # [n_branch, B, S_vid, D]
+        branch_block_masks: Optional[jnp.ndarray] = None,     # [B, T_lat, H, W] float
+        add_first: bool = False,
+        self_guidance_hidden_states: Optional[jnp.ndarray] = None,  # [L, B, S_vid, D]
+        self_guidance_masks: Optional[jnp.ndarray] = None,    # [B, T_lat, H, W] float
+        prev_hidden_states: Optional[jnp.ndarray] = None,     # [L, B, S_joint, D]
+        prev_clip_weight: Optional[Any] = None,
+        prev_resample_mask: Optional[jnp.ndarray] = None,     # bool [B, S_joint]
+        id_pool_resample: bool = False,
+        return_hidden_states: bool = False,
+        use_flash: bool = False,
+        remat: bool = False,
+    ) -> TransformerOutput:
+        cfg = self.cfg
+        b, num_frames, height, width, _ = hidden_states.shape
+        if jnp.ndim(timestep) == 0:
+            timestep = jnp.broadcast_to(timestep, (b,))
+
+        # 1. time embedding (computed fp32, cast to activation dtype)
+        t_emb = timestep_embedding(timestep, cfg.inner_dim,
+                                   flip_sin_to_cos=cfg.flip_sin_to_cos,
+                                   downscale_freq_shift=cfg.freq_shift)
+        t_emb = t_emb.astype(hidden_states.dtype)
+        emb = timestep_mlp(params["time_embedding"], t_emb)
+
+        # 2. patch embedding (+ optional mask pooling)
+        masks_in = self_guidance_masks if self_guidance_masks is not None else branch_block_masks
+        pos = params["patch_embed"].get("pos_embedding")
+        embeds, patch_mask = patch_embed(
+            params["patch_embed"], encoder_hidden_states, hidden_states,
+            patch_size=cfg.patch_size, masks=masks_in, pos_embedding=pos)
+
+        text_len = encoder_hidden_states.shape[1]
+        enc_h = embeds[:, :text_len]
+        h = embeds[:, text_len:]
+        s_vid = h.shape[1]
+
+        # resample-mask over the joint sequence (:534-548)
+        resample_mask = None
+        if id_pool_resample or return_hidden_states or prev_resample_mask is not None:
+            if patch_mask is not None:
+                resample_mask = jnp.concatenate(
+                    [jnp.zeros((b, text_len), dtype=bool), patch_mask], axis=1)
+
+        attn_resample_mask = resample_mask if (id_pool_resample and cfg.id_pool_resample_learnable) else None
+        if not cfg.id_pool_resample_learnable:
+            prev_rs = None
+        else:
+            prev_rs = prev_resample_mask
+
+        # Per-layer branch index: i // ceil(L / n_branch), or i if add_first (:596-609)
+        n_layers = cfg.num_layers
+        if branch_block_samples is not None:
+            nb = branch_block_samples.shape[0]
+            if add_first:
+                bidx = np.minimum(np.arange(n_layers), nb - 1)
+                bvalid = (np.arange(n_layers) < nb)
+            else:
+                interval = int(math.ceil(n_layers / nb))
+                bidx = np.arange(n_layers) // interval
+                bvalid = np.ones(n_layers, dtype=bool)
+            bidx = jnp.asarray(bidx, dtype=jnp.int32)
+            bvalid = jnp.asarray(bvalid)
+
+        gate_mask = None  # True where masked region (no injection there)
+        if patch_mask is not None:
+            gate_mask = patch_mask[..., None]  # [B, S_vid, 1]
+
+        num_heads = cfg.num_attention_heads
+        norm_eps = cfg.norm_eps
+
+        def run_block(bp, h, enc_h, layer_idx):
+            prev_h = None
+            if prev_hidden_states is not None:
+                prev_h = prev_hidden_states[layer_idx]
+            h, enc_h = dit_block(
+                bp, h, enc_h, emb, rope,
+                num_heads=num_heads, norm_eps=norm_eps,
+                resample_mask=attn_resample_mask,
+                prev_hidden_states=prev_h,
+                prev_clip_weight=prev_clip_weight,
+                prev_resample_mask=prev_rs,
+                use_flash=use_flash,
+            )
+            if self_guidance_hidden_states is not None:
+                sg = self_guidance_hidden_states[layer_idx]
+                h = jnp.where(gate_mask, h, sg)  # swap background (:593-594)
+            if branch_block_samples is not None:
+                bs = jnp.take(branch_block_samples, bidx[layer_idx], axis=0)
+                valid = bvalid[layer_idx]
+                injected = h + bs.astype(h.dtype) * valid.astype(h.dtype)
+                if gate_mask is not None:
+                    h = jnp.where(gate_mask, h, injected)
+                else:
+                    h = injected
+            return h, enc_h
+
+        def scan_body(carry, xs):
+            h, enc_h = carry
+            bp, layer_idx = xs
+            fn = run_block
+            if remat:
+                fn = jax.checkpoint(run_block)
+            h, enc_h = fn(bp, h, enc_h, layer_idx)
+            ys = jnp.concatenate([enc_h, h], axis=1) if return_hidden_states else None
+            return (h, enc_h), ys
+
+        layer_ids = jnp.arange(n_layers)
+        (h, enc_h), hs_list = jax.lax.scan(scan_body, (h, enc_h), (params["blocks"], layer_ids))
+
+        # final norms (:613-620): 2B norms video only; 5B norms the joint sequence
+        if not cfg.use_rotary_positional_embeddings:
+            h = layer_norm(params["norm_final"], h, eps=norm_eps)
+        else:
+            joint = jnp.concatenate([enc_h, h], axis=1)
+            joint = layer_norm(params["norm_final"], joint, eps=norm_eps)
+            h = joint[:, text_len:]
+
+        h = ada_layer_norm(params["norm_out"], h, emb, eps=norm_eps)
+        h = linear(params["proj_out"], h)
+
+        out = unpatchify(h, num_frames, height, width, cfg.patch_size)
+        return TransformerOutput(sample=out,
+                                 hidden_states_list=hs_list if return_hidden_states else None,
+                                 resample_mask=resample_mask)

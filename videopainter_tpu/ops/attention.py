@@ -1,0 +1,167 @@
+"""Joint [text ‖ video] self-attention with RoPE, QK-LayerNorm, cross-clip
+blending, and target-region ID resampling.
+
+Reference processors (attention_processor.py):
+ - CogVideoXAttnProcessor2_0 (:2097-2211): joint SDPA; RoPE on the video slice
+   only; optional prev-clip KV blending `(1-w)*attn + w*attn_prev` (:2156-2189).
+ - CogVideoXAttnProcessor2_0_resample (:2213-2305): ID resampling — masked KV
+   tokens concatenated onto K/V so target-region tokens get double attention
+   weight. NOTE the reference order of operations: the mask multiplies the
+   *pre-norm, pre-RoPE* K (and V) projections; norm_k and RoPE are then applied
+   to the already-masked K (:2253-2284). We reproduce that exactly.
+ - CogVideoXAttnProcessor2_0_wo_text (:2306-2366): video-only attention.
+
+This module is the *reference-exact einsum implementation* (fp32 softmax).
+The Pallas flash-attention kernel in ops/flash_attention.py implements the same
+contract for the long-sequence hot path; models pick via `use_flash`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .basic import init_layer_norm, init_linear, layer_norm, linear
+from .rope import apply_rotary_emb
+
+
+def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    b, s, d = x.shape
+    return x.reshape(b, s, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+         scale: Optional[float] = None) -> jnp.ndarray:
+    """Scaled dot-product attention, fp32 softmax. q,k,v: [B, H, S, D]."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def _rope_video_slice(x: jnp.ndarray, rope, text_len: int) -> jnp.ndarray:
+    """Apply RoPE only to positions [text_len:] of [B, H, S, D]."""
+    if rope is None:
+        return x
+    cos, sin = rope
+    head = x[:, :, :text_len]
+    tail = apply_rotary_emb(x[:, :, text_len:], cos, sin)
+    return jnp.concatenate([head, tail.astype(x.dtype)], axis=2)
+
+
+def joint_attention(
+    p: dict,
+    hidden_states: jnp.ndarray,                # [B, S_vid, D]
+    encoder_hidden_states: Optional[jnp.ndarray],  # [B, S_text, D] | None (wo_text)
+    *,
+    num_heads: int,
+    rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    resample_mask: Optional[jnp.ndarray] = None,        # bool [B, S_joint]
+    prev_hidden_states: Optional[jnp.ndarray] = None,   # [B, S_joint, D] (pre-normed)
+    prev_clip_weight: Optional[float] = None,
+    prev_resample_mask: Optional[jnp.ndarray] = None,   # bool [B, S_joint]
+    use_flash: bool = False,
+    qk_norm_eps: float = 1e-6,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Returns (attn_hidden_states, attn_encoder_hidden_states).
+
+    Variant selection mirrors the reference:
+     - encoder_hidden_states is None      -> wo_text processor
+     - resample_mask/prev_resample given  -> resample processor
+     - prev_hidden_states + weight        -> base processor with dual-SDPA blend
+    """
+    if encoder_hidden_states is not None:
+        text_len = encoder_hidden_states.shape[1]
+        x = jnp.concatenate([encoder_hidden_states, hidden_states], axis=1)
+    else:
+        text_len = 0
+        x = hidden_states
+
+    head_dim = x.shape[-1] // num_heads
+    q_flat = linear(p["to_q"], x)
+    k_flat = linear(p["to_k"], x)
+    v_flat = linear(p["to_v"], x)
+
+    use_resample = resample_mask is not None or prev_resample_mask is not None
+    has_prev = prev_hidden_states is not None and prev_clip_weight is not None
+
+    if use_resample:
+        # Reference :2247-2262 — mask multiplies the raw K/V projections.
+        if has_prev:
+            pk_flat = linear(p["to_k"], prev_hidden_states)
+            pv_flat = linear(p["to_v"], prev_hidden_states)
+            key_mask_flat = pk_flat * prev_resample_mask[..., None].astype(pk_flat.dtype) * prev_clip_weight
+            value_mask_flat = pv_flat * prev_resample_mask[..., None].astype(pv_flat.dtype) * prev_clip_weight
+        else:
+            key_mask_flat = k_flat * resample_mask[..., None].astype(k_flat.dtype)
+            value_mask_flat = v_flat * resample_mask[..., None].astype(v_flat.dtype)
+
+    q = _split_heads(q_flat, num_heads)
+    k = _split_heads(k_flat, num_heads)
+    v = _split_heads(v_flat, num_heads)
+
+    if "norm_q" in p and p["norm_q"] is not None:
+        q = layer_norm(p["norm_q"], q, eps=qk_norm_eps)
+    if "norm_k" in p and p["norm_k"] is not None:
+        k = layer_norm(p["norm_k"], k, eps=qk_norm_eps)
+
+    q = _rope_video_slice(q, rope, text_len)
+    k = _rope_video_slice(k, rope, text_len)
+
+    if use_resample:
+        km = _split_heads(key_mask_flat, num_heads)
+        vm = _split_heads(value_mask_flat, num_heads)
+        if "norm_k" in p and p["norm_k"] is not None:
+            km = layer_norm(p["norm_k"], km, eps=qk_norm_eps)
+        km = _rope_video_slice(km, rope, text_len)
+        k = jnp.concatenate([k, km], axis=2)
+        v = jnp.concatenate([v, vm], axis=2)
+        out = sdpa(q, k, v)
+    elif has_prev:
+        # base processor dual-attention blend (:2156-2189)
+        pk = _split_heads(linear(p["to_k"], prev_hidden_states), num_heads)
+        pv = _split_heads(linear(p["to_v"], prev_hidden_states), num_heads)
+        if "norm_k" in p and p["norm_k"] is not None:
+            pk = layer_norm(p["norm_k"], pk, eps=qk_norm_eps)
+        pk = _rope_video_slice(pk, rope, text_len)
+        w = prev_clip_weight
+        out = sdpa(q, k, v) * (1.0 - w) + sdpa(q, pk, pv) * w
+    else:
+        if use_flash:
+            from .flash_attention import flash_attention
+            out = flash_attention(q, k, v)
+        else:
+            out = sdpa(q, k, v)
+
+    out = _merge_heads(out)
+    out = linear(p["to_out"], out)
+
+    if encoder_hidden_states is None:
+        return out, None
+    return out[:, text_len:], out[:, :text_len]
+
+
+def init_attention(key, dim: int, *, num_heads: int, qk_norm: bool = True,
+                   bias: bool = True, out_bias: bool = True, dtype=jnp.float32) -> dict:
+    ks = jax.random.split(key, 4)
+    head_dim = dim // num_heads
+    p = {
+        "to_q": init_linear(ks[0], dim, dim, bias=bias, dtype=dtype),
+        "to_k": init_linear(ks[1], dim, dim, bias=bias, dtype=dtype),
+        "to_v": init_linear(ks[2], dim, dim, bias=bias, dtype=dtype),
+        "to_out": init_linear(ks[3], dim, dim, bias=out_bias, dtype=dtype),
+    }
+    if qk_norm:
+        p["norm_q"] = init_layer_norm(head_dim, dtype=dtype)
+        p["norm_k"] = init_layer_norm(head_dim, dtype=dtype)
+    return p

@@ -1,0 +1,113 @@
+"""Primitive ops and the mixed-precision policy.
+
+TPU numerics stance (SURVEY.md §7 hard-part 1): matmuls run in the compute
+dtype (bf16 on TPU → MXU), while normalizations, softmax, and modulation run
+with float32 accumulation. Parameters live in `param_dtype`.
+
+Params are plain nested dicts: Linear = {"kernel": [in,out], "bias": [out]},
+LayerNorm = {"scale": [d], "bias": [d]} (affine optional).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class Policy:
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.float32
+    norm_dtype: jnp.dtype = jnp.float32  # accumulation dtype for norms/softmax
+
+    def cast(self, x):
+        return x.astype(self.compute_dtype)
+
+
+DEFAULT_POLICY = Policy()
+BF16_POLICY = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+
+
+def linear(p: dict, x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
+    """y = x @ kernel + bias. kernel: [in, out]."""
+    y = jnp.dot(x, p["kernel"].astype(x.dtype), precision=precision)
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"].astype(y.dtype)
+    return y
+
+
+def layer_norm(p: Optional[dict], x: jnp.ndarray, *, eps: float = 1e-5,
+               dtype=jnp.float32) -> jnp.ndarray:
+    """LayerNorm over the last axis with fp32 statistics; affine if p given."""
+    orig = x.dtype
+    x32 = x.astype(dtype)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    if p is not None and "scale" in p:
+        y = y * p["scale"].astype(dtype)
+        if "bias" in p and p["bias"] is not None:
+            y = y + p["bias"].astype(dtype)
+    return y.astype(orig)
+
+
+def group_norm(p: dict, x: jnp.ndarray, *, num_groups: int, eps: float = 1e-6) -> jnp.ndarray:
+    """GroupNorm over channel-last input [..., C] with fp32 statistics.
+
+    Statistics are computed per (batch, group) across all non-batch spatial dims,
+    matching torch.nn.GroupNorm on [B, C, *spatial] inputs (our layout is
+    [B, *spatial, C]).
+    """
+    orig = x.dtype
+    b = x.shape[0]
+    c = x.shape[-1]
+    x32 = x.astype(jnp.float32).reshape(b, -1, num_groups, c // num_groups)
+    mean = jnp.mean(x32, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 3), keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(x.shape)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(orig)
+
+
+def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
+    """gelu-approximate (tanh), the CogVideoX FF activation (attention.py:1176-1177)."""
+    return jax.nn.gelu(x, approximate=True)
+
+
+def silu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.silu(x)
+
+
+# -- initializers ------------------------------------------------------------
+
+def init_linear(key, d_in: int, d_out: int, *, bias: bool = True,
+                dtype=jnp.float32, zero: bool = False) -> dict:
+    if zero:
+        k = jnp.zeros((d_in, d_out), dtype=dtype)
+    else:
+        # torch nn.Linear default: U(-1/sqrt(in), 1/sqrt(in))
+        bound = 1.0 / (d_in ** 0.5)
+        k = jax.random.uniform(key, (d_in, d_out), dtype=jnp.float32,
+                               minval=-bound, maxval=bound).astype(dtype)
+    p = {"kernel": k}
+    if bias:
+        p["bias"] = jnp.zeros((d_out,), dtype=dtype)
+    return p
+
+
+def init_layer_norm(d: int, *, affine: bool = True, bias: bool = True,
+                    dtype=jnp.float32) -> Optional[dict]:
+    if not affine:
+        return None
+    p = {"scale": jnp.ones((d,), dtype=dtype)}
+    if bias:
+        p["bias"] = jnp.zeros((d,), dtype=dtype)
+    return p
+
+
+def init_group_norm(c: int, dtype=jnp.float32) -> dict:
+    return {"scale": jnp.ones((c,), dtype=dtype), "bias": jnp.zeros((c,), dtype=dtype)}
