@@ -158,8 +158,8 @@ class VAEConfig:
         kw.setdefault("latent_channels", 4)
         kw.setdefault("layers_per_block", 1)
         kw.setdefault("norm_num_groups", 4)
-        kw.setdefault("sample_height", 32)
-        kw.setdefault("sample_width", 48)
+        kw.setdefault("sample_height", 64)
+        kw.setdefault("sample_width", 96)
         return cls(**kw)
 
     @classmethod

@@ -1,0 +1,570 @@
+"""Causal 3D VAE (AutoencoderKLCogVideoX) — TPU-native.
+
+Reimplements autoencoder_kl_cogvideox.py:38-1376 with a functional design:
+
+ - Layout is channels-last NDHWC ([B, T, H, W, C]) — the TPU-preferred conv
+   layout (XLA tiles DHWIO kernels straight onto the MXU).
+ - `CogVideoXCausalConv3d`'s mutable `conv_cache` (reference :118-145, the
+   "fake context parallel" cache) becomes an explicit cache pytree threaded
+   through every call: fns take (x, cache) and return (y, new_cache). Frame-
+   batched encode/decode carries the cache across batches exactly like the
+   reference (:1091-1106, :1144-1158).
+ - The reference's >2GB `CogVideoXSafeConv3d` chunking (:38-64) is a CUDA/cuDNN
+   memory workaround; on TPU memory is bounded by frame batching + spatial
+   tiling instead, so convs run un-chunked under XLA.
+ - Tiled encode/decode (:1208-1358) uses a static tile grid with vectorized
+   linear blending (replaces the per-row Python loops at :1192-1206).
+
+Structure: encoder = conv_in → 4 down blocks (stride-2 spatial conv, avg-pool
+time on first 2) → mid → norm → conv_out(2*latent); decoder mirrors with
+zq-conditioned CogVideoXSpatialNorm3D (:148-188) and nearest ×2 upsampling.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import VAEConfig
+from ..ops.basic import group_norm, init_group_norm, silu
+
+Cache = Optional[Dict[str, Any]]
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def _conv3d_raw(p: dict, x: jnp.ndarray, *, time_stride: int = 1) -> jnp.ndarray:
+    """VALID conv over [B, T, H, W, C] with DHWIO kernel."""
+    y = jax.lax.conv_general_dilated(
+        x, p["kernel"].astype(x.dtype),
+        window_strides=(time_stride, 1, 1),
+        padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(y.dtype)
+    return y
+
+
+def causal_conv3d(p: dict, x: jnp.ndarray, cache: Optional[jnp.ndarray], *,
+                  time_stride: int = 1) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """CogVideoXCausalConv3d (reference :67-145).
+
+    Temporal causality: prepend k_t-1 frames — the cache from the previous
+    frame-batch, or replicas of the first frame on a fresh call (:120-127).
+    Spatial dims get symmetric zero padding (:141-142).
+    Returns (y, new_cache) where new_cache = trailing k_t-1 *input* frames.
+    """
+    kt, kh, kw = p["kernel"].shape[:3]
+    if kt > 1:
+        if cache is None:
+            lead = jnp.repeat(x[:, :1], kt - 1, axis=1)
+        else:
+            lead = cache.astype(x.dtype)
+        x = jnp.concatenate([lead, x], axis=1)
+        new_cache = x[:, -(kt - 1):]
+    else:
+        new_cache = None
+    hp, wp = kh // 2, kw // 2
+    if hp or wp:
+        x = jnp.pad(x, ((0, 0), (0, 0), (hp, hp), (wp, wp), (0, 0)))
+    return _conv3d_raw(p, x, time_stride=time_stride), new_cache
+
+
+def nearest_resize3d(x: jnp.ndarray, size: Tuple[int, int, int]) -> jnp.ndarray:
+    """torch F.interpolate(mode='nearest') over (T, H, W) of [B, T, H, W, C]:
+    index i maps to floor(i * in/out)."""
+    b, t, h, w, c = x.shape
+    to, ho, wo = size
+    it = (np.arange(to) * t // to).astype(np.int32)
+    ih = (np.arange(ho) * h // ho).astype(np.int32)
+    iw = (np.arange(wo) * w // wo).astype(np.int32)
+    return x[:, it][:, :, ih][:, :, :, iw]
+
+
+def _repeat2x_spatial(x: jnp.ndarray) -> jnp.ndarray:
+    """nearest ×2 upsample over H, W of [B, T, H, W, C]."""
+    x = jnp.repeat(x, 2, axis=2)
+    return jnp.repeat(x, 2, axis=3)
+
+
+# ---------------------------------------------------------------------------
+# norm blocks
+# ---------------------------------------------------------------------------
+
+def spatial_norm3d(p: dict, f: jnp.ndarray, zq: jnp.ndarray, *,
+                   num_groups: int) -> jnp.ndarray:
+    """CogVideoXSpatialNorm3D (reference :148-188): GroupNorm(f) modulated by
+    1x1x1 causal convs of nearest-resized zq. The first frame is resized
+    separately when T is odd > 1 (:176-182)."""
+    ft = f.shape[1]
+    if ft > 1 and ft % 2 == 1:
+        z_first = nearest_resize3d(zq[:, :1], (1, f.shape[2], f.shape[3]))
+        z_rest = nearest_resize3d(zq[:, 1:], (ft - 1, f.shape[2], f.shape[3]))
+        zq = jnp.concatenate([z_first, z_rest], axis=1)
+    else:
+        zq = nearest_resize3d(zq, (ft, f.shape[2], f.shape[3]))
+    norm_f = group_norm(p["norm_layer"], f, num_groups=num_groups, eps=1e-6)
+    conv_y, _ = causal_conv3d(p["conv_y"]["conv"], zq, None)
+    conv_b, _ = causal_conv3d(p["conv_b"]["conv"], zq, None)
+    return norm_f * conv_y + conv_b
+
+
+# ---------------------------------------------------------------------------
+# resnet / sampling blocks
+# ---------------------------------------------------------------------------
+
+def resnet_block3d(p: dict, x: jnp.ndarray, zq: Optional[jnp.ndarray],
+                   cache: Cache, *, num_groups: int) -> Tuple[jnp.ndarray, dict]:
+    """CogVideoXResnetBlock3D (reference :191-309), temb_channels=0 path."""
+    cache = cache or {}
+    h = x
+    if zq is not None:
+        h = spatial_norm3d(p["norm1"], h, zq, num_groups=num_groups)
+    else:
+        h = group_norm(p["norm1"], h, num_groups=num_groups, eps=1e-6)
+    h = silu(h)
+    h, c1 = causal_conv3d(p["conv1"]["conv"], h, cache.get("conv1"))
+    if zq is not None:
+        h = spatial_norm3d(p["norm2"], h, zq, num_groups=num_groups)
+    else:
+        h = group_norm(p["norm2"], h, num_groups=num_groups, eps=1e-6)
+    h = silu(h)
+    h, c2 = causal_conv3d(p["conv2"]["conv"], h, cache.get("conv2"))
+    if "conv_shortcut" in p:
+        sp = p["conv_shortcut"]
+        if "conv" in sp:  # causal 3x3x3 variant (conv_shortcut=True)
+            x, _ = causal_conv3d(sp["conv"], x, cache.get("conv_shortcut"))
+        else:  # 1x1x1 plain conv (reference :273-275)
+            x = _conv3d_raw(sp, x)
+    return h + x, {"conv1": c1, "conv2": c2}
+
+
+def downsample3d(p: dict, x: jnp.ndarray, *, compress_time: bool) -> jnp.ndarray:
+    """CogVideoXDownsample3D (downsampling.py:288-355): optional causal time
+    avg-pool (first frame kept when odd), then right/bottom pad + stride-2 conv."""
+    if compress_time:
+        t = x.shape[1]
+        if t % 2 == 1:
+            x_first, x_rest = x[:, :1], x[:, 1:]
+            if x_rest.shape[1] > 0:
+                x_rest = (x_rest[:, 0::2] + x_rest[:, 1::2]) * 0.5
+            x = jnp.concatenate([x_first, x_rest], axis=1)
+        else:
+            x = (x[:, 0::2] + x[:, 1::2]) * 0.5
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))
+    b, t, h, w, c = x.shape
+    x2 = x.reshape(b * t, h, w, c)
+    y = jax.lax.conv_general_dilated(
+        x2, p["kernel"].astype(x.dtype), window_strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if "bias" in p:
+        y = y + p["bias"].astype(y.dtype)
+    return y.reshape(b, t, *y.shape[1:])
+
+
+def upsample3d(p: dict, x: jnp.ndarray, *, compress_time: bool) -> jnp.ndarray:
+    """CogVideoXUpsample3D (upsampling.py:351-414): nearest ×2 (time doubled for
+    all but a kept first frame when odd), then 3x3 conv pad 1."""
+    if compress_time:
+        t = x.shape[1]
+        if t > 1 and t % 2 == 1:
+            x_first = _repeat2x_spatial(x[:, :1])
+            x_rest = jnp.repeat(_repeat2x_spatial(x[:, 1:]), 2, axis=1)
+            x = jnp.concatenate([x_first, x_rest], axis=1)
+        elif t > 1:
+            x = jnp.repeat(_repeat2x_spatial(x), 2, axis=1)
+        else:
+            x = _repeat2x_spatial(x)
+    else:
+        x = _repeat2x_spatial(x)
+    b, t, h, w, c = x.shape
+    x2 = x.reshape(b * t, h, w, c)
+    y = jax.lax.conv_general_dilated(
+        x2, p["kernel"].astype(x.dtype), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if "bias" in p:
+        y = y + p["bias"].astype(y.dtype)
+    return y.reshape(b, t, *y.shape[1:])
+
+
+# ---------------------------------------------------------------------------
+# encoder / decoder
+# ---------------------------------------------------------------------------
+
+def encoder_apply(params: dict, cfg: VAEConfig, x: jnp.ndarray,
+                  cache: Cache = None) -> Tuple[jnp.ndarray, dict]:
+    """CogVideoXEncoder3D (reference :611-742). x: [B, T, H, W, 3] →
+    ([B, T', H/8, W/8, 2*latent], cache)."""
+    cache = cache or {}
+    new_cache: Dict[str, Any] = {}
+    g = cfg.norm_num_groups
+    temporal_levels = int(math.log2(cfg.temporal_compression_ratio))
+
+    h, new_cache["conv_in"] = causal_conv3d(params["conv_in"]["conv"], x, cache.get("conv_in"))
+
+    for i, blk in enumerate(params["down_blocks"]):
+        bkey = f"down_{i}"
+        bcache = cache.get(bkey, {})
+        nb: Dict[str, Any] = {}
+        for j, rp in enumerate(blk["resnets"]):
+            h, nb[f"res_{j}"] = resnet_block3d(rp, h, None, bcache.get(f"res_{j}"), num_groups=g)
+        if "downsampler" in blk:
+            h = downsample3d(blk["downsampler"]["conv"], h, compress_time=i < temporal_levels)
+        new_cache[bkey] = nb
+
+    mcache = cache.get("mid", {})
+    nm: Dict[str, Any] = {}
+    for j, rp in enumerate(params["mid_block"]["resnets"]):
+        h, nm[f"res_{j}"] = resnet_block3d(rp, h, None, mcache.get(f"res_{j}"), num_groups=g)
+    new_cache["mid"] = nm
+
+    h = group_norm(params["norm_out"], h, num_groups=g, eps=1e-6)
+    h = silu(h)
+    h, new_cache["conv_out"] = causal_conv3d(params["conv_out"]["conv"], h, cache.get("conv_out"))
+    return h, new_cache
+
+
+def decoder_apply(params: dict, cfg: VAEConfig, z: jnp.ndarray,
+                  cache: Cache = None) -> Tuple[jnp.ndarray, dict]:
+    """CogVideoXDecoder3D (reference :745-883). z: [B, T, h, w, latent] →
+    ([B, T*4(-3), H, W, 3], cache). zq conditioning = the decoder input z."""
+    cache = cache or {}
+    new_cache: Dict[str, Any] = {}
+    g = cfg.norm_num_groups
+    temporal_levels = int(math.log2(cfg.temporal_compression_ratio))
+    n_up = len(params["up_blocks"])
+
+    h, new_cache["conv_in"] = causal_conv3d(params["conv_in"]["conv"], z, cache.get("conv_in"))
+
+    mcache = cache.get("mid", {})
+    nm: Dict[str, Any] = {}
+    for j, rp in enumerate(params["mid_block"]["resnets"]):
+        h, nm[f"res_{j}"] = resnet_block3d(rp, h, z, mcache.get(f"res_{j}"), num_groups=g)
+    new_cache["mid"] = nm
+
+    for i, blk in enumerate(params["up_blocks"]):
+        bkey = f"up_{i}"
+        bcache = cache.get(bkey, {})
+        nb: Dict[str, Any] = {}
+        for j, rp in enumerate(blk["resnets"]):
+            h, nb[f"res_{j}"] = resnet_block3d(rp, h, z, bcache.get(f"res_{j}"), num_groups=g)
+        if "upsampler" in blk:
+            h = upsample3d(blk["upsampler"]["conv"], h, compress_time=i < temporal_levels)
+        new_cache[bkey] = nb
+
+    h = spatial_norm3d(params["norm_out"], h, z, num_groups=g)
+    h = silu(h)
+    h, new_cache["conv_out"] = causal_conv3d(params["conv_out"]["conv"], h, cache.get("conv_out"))
+    return h, new_cache
+
+
+# ---------------------------------------------------------------------------
+# top-level VAE
+# ---------------------------------------------------------------------------
+
+class DiagonalGaussian(NamedTuple):
+    mean: jnp.ndarray
+    logvar: jnp.ndarray
+
+    def sample(self, key) -> jnp.ndarray:
+        std = jnp.exp(0.5 * jnp.clip(self.logvar, -30.0, 20.0))
+        return self.mean + std * jax.random.normal(key, self.mean.shape, dtype=self.mean.dtype)
+
+    def mode(self) -> jnp.ndarray:
+        return self.mean
+
+
+class AutoencoderKLCogVideoX:
+    """Functional VAE with reference-compatible frame batching and tiling.
+
+    Memory behaviors reproduced from the reference:
+     - encode in batches of 8 pixel frames, decode in batches of 2 latent
+       frames, conv caches carried across batches (:1091-1106, :1144-1158)
+     - spatial tiling with overlap + linear blend (:1208-1358)
+     - single-frame decode duplicates the frame (:1180-1181)
+    """
+
+    def __init__(self, cfg: VAEConfig):
+        self.cfg = cfg
+        self.num_latent_frames_batch_size = 2
+        self.num_sample_frames_batch_size = 8
+        self.tile_sample_min_height = cfg.sample_height // 2
+        self.tile_sample_min_width = cfg.sample_width // 2
+        sc = 2 ** (len(cfg.block_out_channels) - 1)
+        self.tile_latent_min_height = self.tile_sample_min_height // sc
+        self.tile_latent_min_width = self.tile_sample_min_width // sc
+        self.tile_overlap_factor_height = 1 / 6
+        self.tile_overlap_factor_width = 1 / 5
+        self.use_tiling = False
+        self.use_slicing = False
+        # jit cache: (kind, input shape/dtype, tiling/slicing mode) -> compiled fn.
+        # Tiling mode and shapes are static (Python control flow); params are traced.
+        self._jit_cache: Dict[Any, Any] = {}
+
+    def _jitted(self, kind: str, fn, shape, dtype):
+        key = (kind, tuple(shape), str(dtype), self.use_tiling, self.use_slicing,
+               self.tile_sample_min_height, self.tile_sample_min_width,
+               self.tile_overlap_factor_height, self.tile_overlap_factor_width)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    # -- config toggles (mirror reference API) -------------------------------
+    def enable_tiling(self, tile_sample_min_height=None, tile_sample_min_width=None,
+                      tile_overlap_factor_height=None, tile_overlap_factor_width=None):
+        self.use_tiling = True
+        if tile_sample_min_height:
+            self.tile_sample_min_height = tile_sample_min_height
+        if tile_sample_min_width:
+            self.tile_sample_min_width = tile_sample_min_width
+        sc = 2 ** (len(self.cfg.block_out_channels) - 1)
+        self.tile_latent_min_height = int(self.tile_sample_min_height / sc)
+        self.tile_latent_min_width = int(self.tile_sample_min_width / sc)
+        if tile_overlap_factor_height:
+            self.tile_overlap_factor_height = tile_overlap_factor_height
+        if tile_overlap_factor_width:
+            self.tile_overlap_factor_width = tile_overlap_factor_width
+
+    def disable_tiling(self):
+        self.use_tiling = False
+
+    def enable_slicing(self):
+        self.use_slicing = True
+
+    def disable_slicing(self):
+        self.use_slicing = False
+
+    # -- init ----------------------------------------------------------------
+    def init(self, key, dtype=jnp.float32) -> dict:
+        cfg = self.cfg
+        keys = iter(jax.random.split(key, 256))
+
+        def conv3d(cin, cout, k):
+            fan_in = cin * k * k * k
+            bound = 1.0 / fan_in**0.5
+            return {"conv": {
+                "kernel": jax.random.uniform(next(keys), (k, k, k, cin, cout),
+                                             minval=-bound, maxval=bound).astype(dtype),
+                "bias": jnp.zeros((cout,), dtype=dtype)}}
+
+        def conv2d(cin, cout, k):
+            fan_in = cin * k * k
+            bound = 1.0 / fan_in**0.5
+            return {"conv": {
+                "kernel": jax.random.uniform(next(keys), (k, k, cin, cout),
+                                             minval=-bound, maxval=bound).astype(dtype),
+                "bias": jnp.zeros((cout,), dtype=dtype)}}
+
+        def spatial_norm(f_ch, zq_ch):
+            return {"norm_layer": init_group_norm(f_ch, dtype=dtype),
+                    "conv_y": conv3d(zq_ch, f_ch, 1),
+                    "conv_b": conv3d(zq_ch, f_ch, 1)}
+
+        def resnet(cin, cout, zq_ch=None):
+            p = {"conv1": conv3d(cin, cout, 3), "conv2": conv3d(cout, cout, 3)}
+            if zq_ch is None:
+                p["norm1"] = init_group_norm(cin, dtype=dtype)
+                p["norm2"] = init_group_norm(cout, dtype=dtype)
+            else:
+                p["norm1"] = spatial_norm(cin, zq_ch)
+                p["norm2"] = spatial_norm(cout, zq_ch)
+            if cin != cout:
+                # plain (non-causal) 1x1x1 shortcut conv, stored flat (no "conv" key)
+                p["conv_shortcut"] = conv3d(cin, cout, 1)["conv"]
+            return p
+
+        boc = cfg.block_out_channels
+        enc: Dict[str, Any] = {"conv_in": conv3d(cfg.in_channels, boc[0], 3), "down_blocks": []}
+        ch = boc[0]
+        for i, out_ch in enumerate(boc):
+            blk = {"resnets": []}
+            cin = ch
+            for _ in range(cfg.layers_per_block):
+                blk["resnets"].append(resnet(cin, out_ch))
+                cin = out_ch
+            if i < len(boc) - 1:
+                blk["downsampler"] = conv2d(out_ch, out_ch, 3)
+            enc["down_blocks"].append(blk)
+            ch = out_ch
+        enc["mid_block"] = {"resnets": [resnet(boc[-1], boc[-1]) for _ in range(2)]}
+        enc["norm_out"] = init_group_norm(boc[-1], dtype=dtype)
+        enc["conv_out"] = conv3d(boc[-1], 2 * cfg.latent_channels, 3)
+
+        rev = list(reversed(boc))
+        zc = cfg.latent_channels
+        dec: Dict[str, Any] = {"conv_in": conv3d(zc, rev[0], 3)}
+        dec["mid_block"] = {"resnets": [resnet(rev[0], rev[0], zq_ch=zc) for _ in range(2)]}
+        dec["up_blocks"] = []
+        ch = rev[0]
+        for i, out_ch in enumerate(rev):
+            blk = {"resnets": []}
+            cin = ch
+            for _ in range(cfg.layers_per_block + 1):
+                blk["resnets"].append(resnet(cin, out_ch, zq_ch=zc))
+                cin = out_ch
+            if i < len(rev) - 1:
+                blk["upsampler"] = conv2d(out_ch, out_ch, 3)
+            dec["up_blocks"].append(blk)
+            ch = out_ch
+        dec["norm_out"] = spatial_norm(rev[-1], zc)
+        dec["conv_out"] = conv3d(rev[-1], cfg.out_channels, 3)
+        return {"encoder": enc, "decoder": dec}
+
+    # -- encode / decode -----------------------------------------------------
+    def _frame_batched_encode(self, params, x):
+        fbs = self.num_sample_frames_batch_size
+        t = x.shape[1]
+        num_batches = t // fbs if t > 1 else 1
+        rem = t % fbs
+        outs, cache = [], None
+        for i in range(max(num_batches, 1)):
+            s = fbs * i + (0 if i == 0 else rem)
+            e = fbs * (i + 1) + rem
+            y, cache = encoder_apply(params["encoder"], self.cfg, x[:, s:e], cache)
+            outs.append(y)
+        return jnp.concatenate(outs, axis=1)
+
+    def _encode_single(self, params, x):
+        h, wd = x.shape[2], x.shape[3]
+        if self.use_tiling and (wd > self.tile_sample_min_width or h > self.tile_sample_min_height):
+            return self.tiled_encode(params, x)
+        return self._frame_batched_encode(params, x)
+
+    def encode(self, params: dict, x: jnp.ndarray) -> DiagonalGaussian:
+        """x: [B, T, H, W, 3] → DiagonalGaussian over [B, T', H/8, W/8, C_lat]."""
+
+        def run(params, x):
+            if self.use_slicing and x.shape[0] > 1:
+                return jnp.concatenate([self._encode_single(params, x[i:i + 1])
+                                        for i in range(x.shape[0])], axis=0)
+            return self._encode_single(params, x)
+
+        h = self._jitted("encode", run, x.shape, x.dtype)(params, x)
+        mean, logvar = jnp.split(h, 2, axis=-1)
+        return DiagonalGaussian(mean, logvar)
+
+    def _frame_batched_decode(self, params, z):
+        fbs = self.num_latent_frames_batch_size
+        t = z.shape[1]
+        num_batches = max(t // fbs, 1)
+        rem = t % fbs
+        outs, cache = [], None
+        for i in range(num_batches):
+            s = fbs * i + (0 if i == 0 else rem)
+            e = fbs * (i + 1) + rem
+            y, cache = decoder_apply(params["decoder"], self.cfg, z[:, s:e], cache)
+            outs.append(y)
+        return jnp.concatenate(outs, axis=1)
+
+    def _decode_single(self, params, z):
+        h, wd = z.shape[2], z.shape[3]
+        if self.use_tiling and (wd > self.tile_latent_min_width or h > self.tile_latent_min_height):
+            return self.tiled_decode(params, z)
+        return self._frame_batched_decode(params, z)
+
+    def decode(self, params: dict, z: jnp.ndarray) -> jnp.ndarray:
+        """z: [B, T, h, w, C_lat] → [B, T_out, H, W, 3]."""
+
+        def run(params, z):
+            if z.shape[1] == 1:
+                z = jnp.concatenate([z, z], axis=1)  # reference :1180-1181
+            if self.use_slicing and z.shape[0] > 1:
+                return jnp.concatenate([self._decode_single(params, z[i:i + 1])
+                                        for i in range(z.shape[0])], axis=0)
+            return self._decode_single(params, z)
+
+        return self._jitted("decode", run, z.shape, z.dtype)(params, z)
+
+    # -- tiling --------------------------------------------------------------
+    @staticmethod
+    def _blend_v(a, b, extent):
+        extent = min(a.shape[2], b.shape[2], extent)
+        if extent <= 0:
+            return b
+        w = (jnp.arange(extent, dtype=b.dtype) / extent)[None, None, :, None, None]
+        top = a[:, :, -extent:] * (1 - w) + b[:, :, :extent] * w
+        return jnp.concatenate([top, b[:, :, extent:]], axis=2)
+
+    @staticmethod
+    def _blend_h(a, b, extent):
+        extent = min(a.shape[3], b.shape[3], extent)
+        if extent <= 0:
+            return b
+        w = (jnp.arange(extent, dtype=b.dtype) / extent)[None, None, None, :, None]
+        left = a[:, :, :, -extent:] * (1 - w) + b[:, :, :, :extent] * w
+        return jnp.concatenate([left, b[:, :, :, extent:]], axis=3)
+
+    def tiled_encode(self, params, x):
+        """Reference tiled_encode (:1208-1277) on NDHWC."""
+        height, width = x.shape[2], x.shape[3]
+        overlap_h = int(self.tile_sample_min_height * (1 - self.tile_overlap_factor_height))
+        overlap_w = int(self.tile_sample_min_width * (1 - self.tile_overlap_factor_width))
+        blend_h = int(self.tile_latent_min_height * self.tile_overlap_factor_height)
+        blend_w = int(self.tile_latent_min_width * self.tile_overlap_factor_width)
+        limit_h = self.tile_latent_min_height - blend_h
+        limit_w = self.tile_latent_min_width - blend_w
+
+        rows = []
+        for i in range(0, height, overlap_h):
+            row = []
+            for j in range(0, width, overlap_w):
+                tile = x[:, :, i:i + self.tile_sample_min_height,
+                         j:j + self.tile_sample_min_width]
+                row.append(self._frame_batched_encode(params, tile))
+            rows.append(row)
+        result_rows = []
+        for i, row in enumerate(rows):
+            result_row = []
+            for j, tile in enumerate(row):
+                # NOTE: blend against *already-blended* neighbors — the reference
+                # blend_v/blend_h mutate tiles in place (:1192-1206), so each
+                # tile sees its top/left neighbor post-blending.
+                if i > 0:
+                    tile = self._blend_v(rows[i - 1][j], tile, blend_h)
+                if j > 0:
+                    tile = self._blend_h(row[j - 1], tile, blend_w)
+                rows[i][j] = tile
+                result_row.append(tile[:, :, :limit_h, :limit_w])
+            result_rows.append(jnp.concatenate(result_row, axis=3))
+        return jnp.concatenate(result_rows, axis=2)
+
+    def tiled_decode(self, params, z):
+        """Reference tiled_decode (:1279-1358) on NDHWC."""
+        height, width = z.shape[2], z.shape[3]
+        overlap_h = int(self.tile_latent_min_height * (1 - self.tile_overlap_factor_height))
+        overlap_w = int(self.tile_latent_min_width * (1 - self.tile_overlap_factor_width))
+        blend_h = int(self.tile_sample_min_height * self.tile_overlap_factor_height)
+        blend_w = int(self.tile_sample_min_width * self.tile_overlap_factor_width)
+        limit_h = self.tile_sample_min_height - blend_h
+        limit_w = self.tile_sample_min_width - blend_w
+
+        rows = []
+        for i in range(0, height, overlap_h):
+            row = []
+            for j in range(0, width, overlap_w):
+                tile = z[:, :, i:i + self.tile_latent_min_height,
+                         j:j + self.tile_latent_min_width]
+                row.append(self._frame_batched_decode(params, tile))
+            rows.append(row)
+        result_rows = []
+        for i, row in enumerate(rows):
+            result_row = []
+            for j, tile in enumerate(row):
+                # NOTE: blend against *already-blended* neighbors — the reference
+                # blend_v/blend_h mutate tiles in place (:1192-1206), so each
+                # tile sees its top/left neighbor post-blending.
+                if i > 0:
+                    tile = self._blend_v(rows[i - 1][j], tile, blend_h)
+                if j > 0:
+                    tile = self._blend_h(row[j - 1], tile, blend_w)
+                rows[i][j] = tile
+                result_row.append(tile[:, :, :limit_h, :limit_w])
+            result_rows.append(jnp.concatenate(result_row, axis=3))
+        return jnp.concatenate(result_rows, axis=2)
