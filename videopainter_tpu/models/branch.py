@@ -81,10 +81,12 @@ class CogVideoXBranch:
         d = bb_kernel.shape[-1]
         bb_k = bb_kernel.reshape(p, p, transformer_cfg.in_channels, d)
         new_k = jnp.zeros((p, p, cfg.patch_in_channels, d), dtype=bb_kernel.dtype)
-        if c_in == 16:
+        if cfg.patch_in_channels == 2 * c_in + 1:
+            # T2V-style (ref c_in==16): both latent slots get the full kernel
             new_k = new_k.at[:, :, :c_in].set(bb_k)
             new_k = new_k.at[:, :, c_in:2 * c_in].set(bb_k)
-        elif c_in == 32:
+        elif cfg.patch_in_channels == c_in + 1:
+            # I2V-style (ref c_in==32, = 2*latent): noisy-latent half duplicated
             half = c_in // 2
             new_k = new_k.at[:, :, :half].set(bb_k[:, :, :half])
             new_k = new_k.at[:, :, half:c_in].set(bb_k[:, :, :half])

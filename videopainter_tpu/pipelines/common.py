@@ -1,0 +1,254 @@
+"""Shared pipeline machinery (latent/mask prep, RoPE, CFG, denoise scan).
+
+Reference anatomy: pipeline_cogvideox_inpainting_i2v_branch.py —
+prepare_latents (:340-416), prepare_mask_latents (:432-475), get_timesteps
+strength slicing (:485-493), _prepare_rotary_positional_embeddings (:587-611),
+denoise loop (:898-1006).
+
+TPU-first: host code does VAE prep + coefficient precompute; the 50-step
+denoise (CFG-batched branch + backbone + guidance + scheduler + replace_gt
+re-noising/blending) compiles into ONE `lax.scan` jitted per shape. All
+data-dependent quantities (dynamic CFG from the train timestep, per-step
+add-noise coefficients) are precomputed [S]-arrays gathered inside the scan.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TransformerConfig
+from ..models.vae import nearest_resize3d
+from ..ops.rope import get_3d_rotary_pos_embed, get_resize_crop_region_for_grid
+from ..schedulers import CogVideoXDDIMScheduler, CogVideoXDPMScheduler
+
+
+def get_strength_timesteps(timesteps: np.ndarray, num_inference_steps: int,
+                           strength: float) -> Tuple[np.ndarray, int]:
+    """Strength-based timestep slicing (reference :485-493)."""
+    init_timestep = min(int(num_inference_steps * strength), num_inference_steps)
+    t_start = max(num_inference_steps - init_timestep, 0)
+    return timesteps[t_start:], num_inference_steps - t_start
+
+
+def prepare_rope(cfg: TransformerConfig, height: int, width: int,
+                 num_latent_frames: int, vae_spatial: int = 8,
+                 base_height: int = 480, base_width: int = 720):
+    """Rotary tables for the video grid (reference :587-611).
+
+    NOTE: the reference hardcodes the aspect-ratio base grid to 720x480 pixels
+    (`base_size_width = 720 // ...`, :596-597) independent of the model's
+    sample dims — RoPE positions are rescaled onto that base grid.
+    """
+    if not cfg.use_rotary_positional_embeddings:
+        return None
+    p = cfg.patch_size
+    grid_h = height // (vae_spatial * p)
+    grid_w = width // (vae_spatial * p)
+    base_w = base_width // (vae_spatial * p)
+    base_h = base_height // (vae_spatial * p)
+    crops = get_resize_crop_region_for_grid((grid_h, grid_w), base_w, base_h)
+    cos, sin = get_3d_rotary_pos_embed(cfg.attention_head_dim, crops,
+                                       (grid_h, grid_w), num_latent_frames)
+    return jnp.asarray(cos), jnp.asarray(sin)
+
+
+def resize_mask_to_latent(mask: jnp.ndarray, t_lat: int, h_lat: int, w_lat: int) -> jnp.ndarray:
+    """[B, T, H, W] -> [B, t_lat, h_lat, w_lat] via nearest (reference :438-440
+    uses F.interpolate default mode)."""
+    m = mask[..., None]
+    m = nearest_resize3d(m, (t_lat, h_lat, w_lat))
+    return m[..., 0]
+
+
+def dynamic_cfg_scales(timesteps: np.ndarray, num_inference_steps: int,
+                       guidance_scale: float) -> np.ndarray:
+    """Per-step dynamic CFG (reference :945-948):
+    1 + g * (1 - cos(pi * ((S - t)/S)^5)) / 2, t = train timestep value."""
+    out = []
+    for t in timesteps:
+        frac = (num_inference_steps - float(t)) / num_inference_steps
+        out.append(1.0 + guidance_scale * (1 - math.cos(math.pi * frac**5.0)) / 2.0)
+    return np.array(out, dtype=np.float32)
+
+
+class DenoiseInputs(NamedTuple):
+    """Device inputs to the fused denoise scan. B = real batch (pre-CFG)."""
+
+    latents: jnp.ndarray              # [B, T, h, w, C]
+    image_latents: jnp.ndarray        # [B, T, h, w, C] (first-frame latent + zero pad)
+    masked_video_latents: jnp.ndarray  # [B, T, h, w, C]
+    mask: jnp.ndarray                 # [B, T, h, w] latent-grid mask (float)
+    prompt_embeds: jnp.ndarray        # [2B, S_text, text_dim] (neg ‖ pos) or [B,...]
+    noise: jnp.ndarray                # [B, T, h, w, C] initial noise (replace_gt re-noise)
+    video_latents: Optional[jnp.ndarray]  # [B, T, h, w, C] clean GT latents (replace_gt)
+    dpm_noises: Optional[jnp.ndarray] = None  # [S, B, T, h, w, C] injected SDE noise
+                                              # (parity testing; None -> draw from rng)
+
+
+@dataclass(frozen=True)
+class DenoiseConfig:
+    """Static (compile-time) options of the denoise loop."""
+
+    num_inference_steps: int
+    do_cfg: bool
+    use_dynamic_cfg: bool
+    guidance_scale: float
+    conditioning_scale: float
+    replace_gt: bool
+    mask_add: bool
+    mask_background: bool
+    add_first: bool
+    wo_text: bool
+    id_pool_resample: bool
+    is_dpm: bool
+    capture_hidden_states: bool = False   # capture per-layer states at the final step
+    use_flash: bool = False
+    dpm_sde: bool = True                  # draw SDE noise each DPM step
+
+
+def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
+                    timesteps: np.ndarray):
+    """Build the jittable denoise function.
+
+    Returns fn(params, inputs, rope, rng, prev_state) ->
+      (final_latents, hidden_states_list|None, resample_mask|None)
+
+    prev_state: None or dict with stacked prev_hidden_states [L,B,S,D],
+    prev_resample_mask [B,S], prev_clip_weight (float) — the any-length
+    cross-clip conditioning (reference ..._anyl.py:962-966).
+    """
+    S = len(timesteps)
+    is_dpm = isinstance(scheduler, CogVideoXDPMScheduler)
+    assert is_dpm == dcfg.is_dpm
+    # Strength slicing passes a shortened timestep list, but the scheduler's
+    # stride still derives from the un-sliced num_inference_steps (reference
+    # keeps self.num_inference_steps from set_timesteps).
+    coeffs = scheduler.precompute(dcfg.num_inference_steps,
+                                  timesteps=np.asarray(timesteps))
+
+    # Dynamic CFG uses the post-slice step count (reference reassigns
+    # num_inference_steps from get_timesteps before the loop), while the
+    # scheduler stride above uses the original count.
+    cfg_scales = jnp.asarray(
+        dynamic_cfg_scales(timesteps, S, dcfg.guidance_scale)
+        if dcfg.use_dynamic_cfg else
+        np.full(S, dcfg.guidance_scale, dtype=np.float32))
+
+    # replace_gt re-noising: abar at timesteps[i+1] (last step un-noised).
+    abar = scheduler.alphas_cumprod
+    sqrt_ab = np.zeros(S, dtype=np.float32)
+    sqrt_1mab = np.zeros(S, dtype=np.float32)
+    renoise = np.zeros(S, dtype=np.float32)
+    for i in range(S - 1):
+        a = abar[int(timesteps[i + 1])]
+        sqrt_ab[i] = a**0.5
+        sqrt_1mab[i] = (1 - a)**0.5
+        renoise[i] = 1.0
+    sqrt_ab, sqrt_1mab, renoise = map(jnp.asarray, (sqrt_ab, sqrt_1mab, renoise))
+
+    def model_step(params, inputs: DenoiseInputs, rope, latents, i, prev_state,
+                   capture: bool):
+        tcfg = transformer.cfg
+        t = coeffs.timesteps[i]
+        if dcfg.do_cfg:
+            latent_video_input = jnp.concatenate([latents, latents], axis=0)
+            image_latents = jnp.concatenate([inputs.image_latents] * 2, axis=0)
+            masked_lat = jnp.concatenate([inputs.masked_video_latents] * 2, axis=0)
+            mask = jnp.concatenate([inputs.mask] * 2, axis=0)
+        else:
+            latent_video_input = latents
+            image_latents = inputs.image_latents
+            masked_lat = inputs.masked_video_latents
+            mask = inputs.mask
+
+        if tcfg.in_channels == 2 * latents.shape[-1]:  # I2V: concat image latents
+            latent_model_input = jnp.concatenate([latent_video_input, image_latents], axis=-1)
+        else:
+            latent_model_input = latent_video_input
+
+        branch_cond = jnp.concatenate([masked_lat, mask[..., None]], axis=-1)
+        timestep = jnp.broadcast_to(t, (latent_model_input.shape[0],))
+
+        branch_samples = branch.apply(
+            params["branch"], latent_video_input, inputs.prompt_embeds, branch_cond,
+            timestep, rope=rope, conditioning_scale=dcfg.conditioning_scale,
+            use_flash=dcfg.use_flash)
+
+        kw: Dict[str, Any] = {}
+        if prev_state is not None:
+            kw["prev_hidden_states"] = prev_state["prev_hidden_states"]
+            kw["prev_clip_weight"] = prev_state["prev_clip_weight"]
+            kw["prev_resample_mask"] = prev_state["prev_resample_mask"]
+
+        out = transformer.apply(
+            params["transformer"], latent_model_input, inputs.prompt_embeds, timestep,
+            rope=rope,
+            branch_block_samples=branch_samples,
+            branch_block_masks=mask if dcfg.mask_add else None,
+            add_first=dcfg.add_first,
+            id_pool_resample=dcfg.id_pool_resample,
+            return_hidden_states=capture,
+            use_flash=dcfg.use_flash,
+            **kw)
+        return out
+
+    def scheduler_and_blend(inputs: DenoiseInputs, latents, old_x0, noise_pred, i, step_key):
+        noise_pred = noise_pred.astype(jnp.float32)
+        if dcfg.do_cfg:
+            uncond, text = jnp.split(noise_pred, 2, axis=0)
+            noise_pred = uncond + cfg_scales[i] * (text - uncond)
+        if dcfg.is_dpm:
+            if inputs.dpm_noises is not None:
+                sde_noise = inputs.dpm_noises[i]
+            elif dcfg.dpm_sde:
+                sde_noise = jax.random.normal(step_key, latents.shape, dtype=jnp.float32)
+            else:
+                sde_noise = None
+            latents, x0 = scheduler.step(coeffs, i, noise_pred, old_x0, latents,
+                                         noise=sde_noise)
+        else:
+            latents, x0 = scheduler.step(coeffs, i, noise_pred, latents)
+        if dcfg.replace_gt:
+            init_latents = (inputs.video_latents * sqrt_ab[i]
+                            + inputs.noise * sqrt_1mab[i]) * renoise[i] \
+                + inputs.video_latents * (1.0 - renoise[i])
+            m = inputs.mask[..., None]
+            if dcfg.mask_background:
+                latents = m * init_latents + (1 - m) * latents
+            else:
+                latents = (1 - m) * init_latents + m * latents
+        return latents, x0
+
+    def denoise(params, inputs: DenoiseInputs, rope, rng, prev_state=None):
+        n_scan = S - 1 if dcfg.capture_hidden_states else S
+        step_keys = jax.random.split(rng, S)
+
+        def body(carry, i):
+            latents, old_x0 = carry
+            out = model_step(params, inputs, rope, latents, i, prev_state, capture=False)
+            latents, x0 = scheduler_and_blend(inputs, latents, old_x0,
+                                              out.sample, i, step_keys[i])
+            return (latents, x0), ()
+
+        init = (inputs.latents, jnp.zeros_like(inputs.latents))
+        (latents, old_x0), _ = jax.lax.scan(body, init, jnp.arange(n_scan))
+
+        hidden_states_list = None
+        resample_mask = None
+        if dcfg.capture_hidden_states:
+            i = S - 1
+            out = model_step(params, inputs, rope, latents, i, prev_state, capture=True)
+            latents, _ = scheduler_and_blend(inputs, latents, old_x0,
+                                             out.sample, i, step_keys[i])
+            hidden_states_list = out.hidden_states_list
+            resample_mask = out.resample_mask
+        return latents, hidden_states_list, resample_mask
+
+    return denoise

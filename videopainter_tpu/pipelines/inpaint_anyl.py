@@ -1,0 +1,173 @@
+"""Any-length dual-stream I2V inpainting — sliding windows with cross-clip ID
+resampling.
+
+Behavioral parity with CogVideoXI2VDualInpaintAnyLPipeline
+(pipeline_cogvideox_inpainting_i2v_branch_anyl.py:158-1082):
+
+ - window count n_windows = (total - num_frames) // stride + 1 (:759)
+ - per-window first-frame conditioning: window 0 uses the provided image; later
+   windows reuse the previous window's latent at the overlap position (:866-872)
+ - per-layer hidden states + resample mask captured at the final timestep of
+   each window and fed to the next window's attention as
+   prev_hidden_states/prev_resample_mask/prev_clip_weight (:962-988)
+ - latent frame accumulator averaged across overlapping windows (:833-841,
+   :1052-1069), then ONE VAE decode (:1071-1072)
+
+TPU-native: the window loop is host-level Python (window count is data
+dependent); every window reuses the same jitted denoise scan, so there is one
+compile for windows 1..N-1 (identical shapes + prev-state structure) plus one
+for window 0.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace as dc_replace
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..schedulers import CogVideoXDPMScheduler
+from .common import DenoiseConfig, get_strength_timesteps, prepare_rope
+from .inpaint import CogVideoXI2VDualInpaintPipeline
+
+
+class CogVideoXI2VDualInpaintAnyLPipeline(CogVideoXI2VDualInpaintPipeline):
+
+    def __call__(  # noqa: C901
+        self, params: dict, *,
+        image: jnp.ndarray,                 # [B, H, W, 3] first frame (pixels)
+        video: jnp.ndarray,                 # [B, T_total, H, W, 3]
+        masks: jnp.ndarray,                 # [B, T_total, H, W]
+        num_frames: int = 49,
+        stride: Optional[int] = None,
+        prompt: Optional[str] = None,
+        negative_prompt: str = "",
+        prompt_embeds: Optional[jnp.ndarray] = None,
+        negative_prompt_embeds: Optional[jnp.ndarray] = None,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 6.0,
+        use_dynamic_cfg: bool = False,
+        strength: float = 1.0,
+        conditioning_scale: float = 1.0,
+        prev_clip_weight: float = 0.0,
+        replace_gt: bool = False,
+        mask_add: bool = False,
+        mask_background: bool = False,
+        add_first: bool = False,
+        wo_text: bool = False,
+        id_pool_resample: bool = False,
+        rng: Optional[jax.Array] = None,
+        vae_sample_mode: str = "sample",
+        init_noises: Optional[list] = None,       # per-window init noise (parity testing)
+        dpm_noises_list: Optional[list] = None,   # per-window [S,...] SDE noise
+        output_type: str = "np",
+        dtype=jnp.float32,
+    ):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        b, total_frames = video.shape[0], video.shape[1]
+        stride = stride if stride is not None else num_frames
+        if stride > num_frames:
+            raise ValueError(f"stride {stride} > num_frames {num_frames}")
+        if (total_frames - num_frames) % stride != 0:
+            raise ValueError(
+                f"total_frames {total_frames} must satisfy (total - num_frames) % stride == 0")
+        n_windows = (total_frames - num_frames) // stride + 1
+        tc = self.vae_scale_factor_temporal
+        t_lat = (num_frames - 1) // tc + 1
+        overlap_lat = (num_frames - stride) // tc
+
+        if stride < num_frames:
+            num_frame_latents = t_lat * n_windows - (n_windows - 1) * (overlap_lat + 1)
+        else:
+            num_frame_latents = (t_lat - 1) * n_windows + 1
+
+        do_cfg = guidance_scale > 1.0
+        if prompt_embeds is None:
+            prompt_embeds, negative_prompt_embeds = self.encode_prompt(
+                params, prompt, negative_prompt,
+                self.transformer.cfg.max_text_seq_length)
+        embeds = (jnp.concatenate([negative_prompt_embeds, prompt_embeds], axis=0)
+                  if do_cfg else prompt_embeds).astype(dtype)
+
+        ts_full = self.scheduler.timesteps(num_inference_steps)
+        timesteps, _ = get_strength_timesteps(ts_full, num_inference_steps, strength)
+
+        h_lat = video.shape[2] // self.vae_scale_factor_spatial
+        w_lat = video.shape[3] // self.vae_scale_factor_spatial
+        c_lat = self.vae.cfg.latent_channels
+        rope = prepare_rope(self.transformer.cfg, video.shape[2], video.shape[3],
+                            t_lat, self.vae_scale_factor_spatial)
+
+        accumulator = jnp.zeros((b, num_frame_latents, h_lat, w_lat, c_lat), dtype=dtype)
+        counts = np.zeros(num_frame_latents, dtype=np.float32)
+
+        base_dcfg = DenoiseConfig(
+            num_inference_steps=num_inference_steps, do_cfg=do_cfg,
+            use_dynamic_cfg=use_dynamic_cfg, guidance_scale=guidance_scale,
+            conditioning_scale=conditioning_scale, replace_gt=replace_gt,
+            mask_add=mask_add, mask_background=mask_background, add_first=add_first,
+            wo_text=wo_text, id_pool_resample=id_pool_resample,
+            is_dpm=isinstance(self.scheduler, CogVideoXDPMScheduler))
+
+        prev_state: Optional[Dict[str, Any]] = None
+        latents = None
+        for window_idx in range(n_windows):
+            s = window_idx * stride
+            window_video = video[:, s:s + num_frames]
+            window_masks = masks[:, s:s + num_frames]
+
+            if window_idx == 0:
+                image_ = image
+            elif overlap_lat > 0:
+                # previous window's latent at the overlap position (:866-872)
+                image_ = latents[:, -overlap_lat - 1:-overlap_lat]
+            else:
+                image_ = latents[:, -1:]
+
+            inputs, rng = self.prepare_inputs(
+                params, image=image_, video=window_video, masks=window_masks,
+                rng=rng, strength=strength, timesteps=timesteps,
+                mask_background=mask_background, need_video_latents=True,
+                vae_sample_mode=vae_sample_mode,
+                init_noise=(init_noises[window_idx] if init_noises else None),
+                dtype=dtype)
+            inputs = inputs._replace(prompt_embeds=embeds)
+            if dpm_noises_list is not None:
+                inputs = inputs._replace(
+                    dpm_noises=jnp.asarray(dpm_noises_list[window_idx], dtype=dtype))
+
+            capture = window_idx < n_windows - 1
+            dcfg = dc_replace(base_dcfg, capture_hidden_states=capture)
+            denoise = self._get_denoise(dcfg, timesteps)
+
+            rng, k = jax.random.split(rng)
+            latents, hs_list, resample_mask = denoise(params, inputs, rope, k,
+                                                      prev_state)
+            if capture:
+                prev_state = {
+                    "prev_hidden_states": hs_list,
+                    "prev_resample_mask": resample_mask,
+                    "prev_clip_weight": prev_clip_weight,
+                }
+
+            # accumulate into the global latent timeline (:1052-1064)
+            if window_idx == 0:
+                start = 0
+            elif stride < num_frames:
+                start = window_idx * t_lat - (overlap_lat + 1) * window_idx
+            else:
+                start = window_idx * t_lat - window_idx
+            accumulator = accumulator.at[:, start:start + t_lat].add(latents.astype(dtype))
+            counts[start:start + t_lat] += 1
+
+        accumulator = accumulator / jnp.asarray(np.maximum(counts, 1.0))[None, :, None, None, None]
+
+        if output_type == "latent":
+            return accumulator
+        video_out = self.vae.decode(params["vae"],
+                                    accumulator / self.vae.cfg.scaling_factor)
+        if output_type == "np":
+            return np.asarray(jnp.clip(video_out, -1, 1))
+        return video_out
