@@ -7,13 +7,14 @@ xla_force_host_platform_device_count).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # deterministic fp32 parity; override axon/TPU
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU platform; the config update
+# below wins as long as no backend has initialized yet.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import pathlib  # noqa: E402

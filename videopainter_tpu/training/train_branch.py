@@ -1,0 +1,211 @@
+"""Branch (context-encoder) and ID-LoRA training — jitted TPU train steps.
+
+Behavioral parity with train/train_cogvideox_inpainting_i2v_video.py:1737-1898:
+
+ - first-frame conditioning latent from a sigma-noised image,
+   sigma = exp(N(-3, 0.5)) (:1775-1782), optional noised_image_dropout (:1800)
+ - GT video / masked video VAE-encoded (sampled posterior) * scaling (:1785-1793)
+ - masks nearest-resized to the latent grid, concatenated to the branch cond
+   (:1802-1811)
+ - v-prediction model; loss computed in x0 space: model_pred =
+   get_velocity(model_output, noisy_latents, t) == predicted x0 (:1879);
+   loss = mean(w*(x0_pred - x0)^2) + inpainting_loss_weight *
+   mean(w*(x0_pred*m - x0*m)^2), w = 1/(1-abar_t) (:1881-1891)
+ - grad-norm before/after clip logged (:1894-1898)
+
+TPU-native: the whole step (VAE encodes + branch fwd + frozen backbone fwd +
+loss + grads + optax update) is ONE jitted function; freeze is expressed by
+differentiating only the trainable subtree. ZeRO-2 analog = sharded optimizer
+state (parallel/sharding.py). The ID-LoRA step (reference
+train_..._resample.py) differentiates only the LoRA A/B pytree, with the merged
+kernels recomputed inside the loss (cheap einsum, keeps base frozen).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.lora import merge_lora
+from ..pipelines.common import prepare_rope, resize_mask_to_latent
+
+
+@dataclass(frozen=True)
+class BranchTrainConfig:
+    height: int = 480
+    width: int = 720
+    inpainting_loss_weight: float = 1.0
+    mask_add: bool = False
+    add_first: bool = False
+    wo_text: bool = False
+    noised_image_dropout: float = 0.05
+    max_grad_norm: float = 1.0
+    lora_rank: int = 256
+    lora_alpha: float = 128.0
+    id_pool_resample: bool = True  # LoRA training forwards with resample attn
+    remat: bool = True
+
+
+class BranchTrainState(NamedTuple):
+    step: jnp.ndarray
+    trainable: Any          # branch params (or LoRA pytree for the LoRA step)
+    opt_state: Any
+
+
+def init_branch_train_state(trainable_params, optimizer) -> BranchTrainState:
+    return BranchTrainState(step=jnp.zeros((), jnp.int32),
+                            trainable=trainable_params,
+                            opt_state=optimizer.init(trainable_params))
+
+
+def _prepare_latents(vae, vae_params, batch, rng, cfg, scheduler, dropout_rng):
+    """Shared VAE prep: returns (noisy input pieces, x0 target, masks, t, noise)."""
+    video = batch["pixel_values"]          # [B, T, H, W, 3] in [-1, 1]
+    masked_video = batch["conditioning_pixel_values"]
+    masks = batch["masks"]                 # [B, T, H, W] float
+    b, t = video.shape[0], video.shape[1]
+    sf = vae.cfg.scaling_factor
+
+    k_sig, k_imgn, k_img, k_vid, k_cond, k_noise, k_t, k_drop = jax.random.split(rng, 8)
+
+    # sigma-noised first frame (:1775-1782)
+    images = video[:, :1]
+    sigma = jnp.exp(-3.0 + 0.5 * jax.random.normal(k_sig, (b,)))
+    noisy_images = images + jax.random.normal(k_imgn, images.shape) * \
+        sigma[:, None, None, None, None]
+    image_latents = vae.encode(vae_params, noisy_images).sample(k_img) * sf
+
+    model_input = vae.encode(vae_params, video).sample(k_vid) * sf
+    cond_latents = vae.encode(vae_params, masked_video).sample(k_cond) * sf
+
+    t_lat, h_lat, w_lat = model_input.shape[1:4]
+    pad = jnp.zeros((b, t_lat - 1) + model_input.shape[2:], model_input.dtype)
+    image_latents = jnp.concatenate([image_latents, pad], axis=1)
+    drop = jax.random.uniform(k_drop, ()) < cfg.noised_image_dropout
+    image_latents = jnp.where(drop, jnp.zeros_like(image_latents), image_latents)
+
+    mask_lat = resize_mask_to_latent(masks, t_lat, h_lat, w_lat)
+    branch_cond = jnp.concatenate([cond_latents, mask_lat[..., None]], axis=-1)
+
+    noise = jax.random.normal(k_noise, model_input.shape)
+    timesteps = jax.random.randint(k_t, (b,), 0, scheduler.config.num_train_timesteps)
+    noisy_video_latents = scheduler.add_noise(model_input, noise, timesteps)
+    return (noisy_video_latents, image_latents, branch_cond, mask_lat,
+            model_input, timesteps)
+
+
+def _x0_loss(scheduler, model_output, noisy_video_latents, timesteps,
+             target_x0, mask_lat, inpainting_loss_weight):
+    """x0-space weighted loss (reference :1879-1891)."""
+    model_pred = scheduler.get_velocity(model_output, noisy_video_latents, timesteps)
+    abar = jnp.asarray(scheduler.alphas_cumprod, dtype=jnp.float32)[timesteps]
+    w = (1.0 / (1.0 - abar))[:, None, None, None, None]
+    b = model_pred.shape[0]
+    sq = w * jnp.square(model_pred - target_x0)
+    loss = jnp.mean(sq.reshape(b, -1), axis=1).mean()
+    m = mask_lat[..., None]
+    sq_m = w * jnp.square(model_pred * m - target_x0 * m)
+    inp_loss = jnp.mean(sq_m.reshape(b, -1), axis=1).mean()
+    return loss + inpainting_loss_weight * inp_loss, (loss, inp_loss)
+
+
+def make_branch_train_step(transformer, branch, vae, scheduler, optimizer,
+                           cfg: BranchTrainConfig):
+    """Branch SFT: trains only the branch; backbone/VAE frozen.
+
+    batch keys: pixel_values, conditioning_pixel_values, masks, prompt_embeds.
+    Returns (state, metrics) with loss / inpainting_loss / grad norms.
+    """
+
+    def train_step(state: BranchTrainState, frozen: Dict[str, Any], batch, rng):
+        rng_prep, rng_model = jax.random.split(rng)
+        prep = _prepare_latents(vae, frozen["vae"], batch, rng_prep, cfg, scheduler,
+                                rng_model)
+        (noisy_vid, image_latents, branch_cond, mask_lat, model_input, timesteps) = prep
+
+        t_lat = model_input.shape[1]
+        rope = prepare_rope(transformer.cfg, cfg.height, cfg.width, t_lat,
+                            vae.cfg.spatial_compression_ratio)
+        prompt_embeds = batch["prompt_embeds"]
+        noisy_model_input = (jnp.concatenate([noisy_vid, image_latents], axis=-1)
+                             if transformer.cfg.in_channels == 2 * noisy_vid.shape[-1]
+                             else noisy_vid)
+
+        def loss_fn(branch_params):
+            samples = branch.apply(branch_params, noisy_vid, prompt_embeds,
+                                   branch_cond, timesteps, rope=rope,
+                                   remat=cfg.remat)
+            out = transformer.apply(
+                frozen["transformer"], noisy_model_input, prompt_embeds, timesteps,
+                rope=rope, branch_block_samples=samples,
+                branch_block_masks=mask_lat if cfg.mask_add else None,
+                add_first=cfg.add_first, remat=cfg.remat)
+            return _x0_loss(scheduler, out.sample, noisy_vid, timesteps,
+                            model_input, mask_lat, cfg.inpainting_loss_weight)
+
+        (total, (loss, inp_loss)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.trainable)
+        gnorm_before = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.trainable)
+        new_params = optax.apply_updates(state.trainable, updates)
+        gnorm_after = jnp.minimum(gnorm_before, cfg.max_grad_norm)
+        metrics = {"loss": loss, "inpainting_loss": inp_loss, "total_loss": total,
+                   "gradient_norm_before_clip": gnorm_before,
+                   "gradient_norm_after_clip": gnorm_after}
+        return BranchTrainState(state.step + 1, new_params, opt_state), metrics
+
+    return train_step
+
+
+def make_lora_train_step(transformer, branch, vae, scheduler, optimizer,
+                         cfg: BranchTrainConfig):
+    """ID-resample LoRA: trains rank-r LoRA on backbone to_q/k/v/out; branch +
+    backbone base + VAE frozen; forwards with ID-resampling attention
+    (reference train_..._resample.py: LoraConfig r=256 alpha=128,
+    id_pool_resample_learnable=True)."""
+
+    def train_step(state: BranchTrainState, frozen: Dict[str, Any], batch, rng):
+        rng_prep, rng_model = jax.random.split(rng)
+        prep = _prepare_latents(vae, frozen["vae"], batch, rng_prep, cfg, scheduler,
+                                rng_model)
+        (noisy_vid, image_latents, branch_cond, mask_lat, model_input, timesteps) = prep
+        t_lat = model_input.shape[1]
+        rope = prepare_rope(transformer.cfg, cfg.height, cfg.width, t_lat,
+                            vae.cfg.spatial_compression_ratio)
+        prompt_embeds = batch["prompt_embeds"]
+        noisy_model_input = (jnp.concatenate([noisy_vid, image_latents], axis=-1)
+                             if transformer.cfg.in_channels == 2 * noisy_vid.shape[-1]
+                             else noisy_vid)
+
+        samples = branch.apply(frozen["branch"], noisy_vid, prompt_embeds,
+                               branch_cond, timesteps, rope=rope, remat=cfg.remat)
+        samples = jax.lax.stop_gradient(samples)
+
+        def loss_fn(lora_params):
+            merged = merge_lora(frozen["transformer"], lora_params,
+                                alpha=cfg.lora_alpha, rank=cfg.lora_rank)
+            out = transformer.apply(
+                merged, noisy_model_input, prompt_embeds, timesteps,
+                rope=rope, branch_block_samples=samples,
+                branch_block_masks=mask_lat if cfg.mask_add else None,
+                add_first=cfg.add_first,
+                id_pool_resample=cfg.id_pool_resample, remat=cfg.remat)
+            return _x0_loss(scheduler, out.sample, noisy_vid, timesteps,
+                            model_input, mask_lat, cfg.inpainting_loss_weight)
+
+        (total, (loss, inp_loss)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.trainable)
+        gnorm_before = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.trainable)
+        new_params = optax.apply_updates(state.trainable, updates)
+        metrics = {"loss": loss, "inpainting_loss": inp_loss, "total_loss": total,
+                   "gradient_norm_before_clip": gnorm_before,
+                   "gradient_norm_after_clip": jnp.minimum(gnorm_before, cfg.max_grad_norm)}
+        return BranchTrainState(state.step + 1, new_params, opt_state), metrics
+
+    return train_step
