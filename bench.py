@@ -1,0 +1,150 @@
+"""Benchmark: 49-frame 480x720 50-step dual-stream inpainting throughput.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Measures the real hot path on the attached TPU chip:
+ - fused branch(2L) + backbone denoise step at flagship dims
+   (d=3072, 48 heads, 17,776-token joint sequence, CFG batch 2, bf16,
+   Pallas flash attention)
+ - the backbone is truncated to as many layers as fit alongside activations
+   on one chip's HBM; per-layer cost is measured and scaled to 42 layers
+ - VAE decode of the 13-latent-frame 60x90 grid (tiled)
+
+clip time = 50 * step_time + decode_time; metric = clips/min/chip.
+vs_baseline: BASELINE.json's north-star is <=60 s/clip on v5e-8, i.e.
+0.125 clips/min/chip — vs_baseline = value / 0.125.
+
+Usage: python bench.py [--layers N] [--tiny]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=8,
+                    help="backbone layers to materialize (scaled to 42)")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--tiny", action="store_true", help="smoke mode (CI)")
+    ap.add_argument("--skip-vae", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from videopainter_tpu.config import BranchConfig, TransformerConfig, VAEConfig
+    from videopainter_tpu.models import (AutoencoderKLCogVideoX, CogVideoXBranch,
+                                         CogVideoXTransformer3D)
+    from videopainter_tpu.pipelines.common import prepare_rope
+
+    full_layers = 42
+    if args.tiny:
+        cfg = TransformerConfig.tiny(in_channels=32, out_channels=16,
+                                     sample_height=8, sample_width=12)
+        full_layers = cfg.num_layers
+        H_lat, W_lat, T_lat, text_len, text_dim = 8, 12, 3, 5, 12
+    else:
+        cfg = TransformerConfig.cogvideox_5b_i2v(num_layers=args.layers)
+        H_lat, W_lat, T_lat, text_len, text_dim = 60, 90, 13, 226, 4096
+
+    bcfg = BranchConfig.from_transformer(cfg, num_layers=2)
+    transformer = CogVideoXTransformer3D(cfg)
+    branch = CogVideoXBranch(bcfg)
+
+    dtype = jnp.bfloat16
+    params = {"transformer": transformer.init(jax.random.PRNGKey(0), dtype=dtype)}
+    params["branch"] = branch.init_from_transformer(jax.random.PRNGKey(1),
+                                                    params["transformer"], cfg,
+                                                    dtype=dtype)
+
+    B = 1
+    lat_shape = (B, T_lat, H_lat, W_lat, 16)
+    gen = jax.jit(lambda k, s=lat_shape: jax.random.normal(k, s, dtype=dtype))
+    keys = jax.random.split(jax.random.PRNGKey(2), 4)
+    latents, masked = gen(keys[0]), gen(keys[1])
+    image_latents = jnp.zeros(lat_shape, dtype)
+    mask = (jax.random.uniform(keys[2], (B, T_lat, H_lat, W_lat)) > 0.5).astype(dtype)
+    embeds = jax.random.normal(keys[3], (2 * B, text_len, text_dim), dtype=dtype)
+    rope = prepare_rope(cfg, H_lat * 8, W_lat * 8, T_lat, 8)
+    rope = (rope[0].astype(dtype), rope[1].astype(dtype))
+
+    use_flash = not args.tiny
+
+    def denoise_step(params, latents, t):
+        lvi = jnp.concatenate([latents, latents], axis=0)
+        model_in = jnp.concatenate(
+            [lvi, jnp.concatenate([image_latents] * 2, axis=0)], axis=-1)
+        cond = jnp.concatenate(
+            [jnp.concatenate([masked] * 2, axis=0),
+             jnp.concatenate([mask] * 2, axis=0)[..., None]], axis=-1)
+        ts = jnp.broadcast_to(t, (2 * B,))
+        samples = branch.apply(params["branch"], lvi, embeds, cond, ts, rope=rope,
+                               use_flash=use_flash)
+        out = transformer.apply(params["transformer"], model_in, embeds, ts,
+                                rope=rope, branch_block_samples=samples,
+                                branch_block_masks=jnp.concatenate([mask] * 2, axis=0),
+                                use_flash=use_flash)
+        u, c = jnp.split(out.sample.astype(jnp.float32), 2, axis=0)
+        pred = u + 6.0 * (c - u)
+        return (latents.astype(jnp.float32) * 0.99 - 0.01 * pred).astype(dtype)
+
+    step = jax.jit(denoise_step)
+    sync = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+
+    t0 = time.time()
+    latents2 = step(params, latents, jnp.asarray(500))
+    float(sync(latents2))
+    compile_time = time.time() - t0
+
+    reps = 2 if args.tiny else 3
+    t0 = time.time()
+    cur = latents
+    for i in range(reps):
+        cur = step(params, cur, jnp.asarray(500 - i))
+    float(sync(cur))
+    step_time = (time.time() - t0) / reps
+    full_step_time = step_time * (full_layers + 2) / (cfg.num_layers + 2)
+
+    decode_time = 0.0
+    if not args.skip_vae and not args.tiny:
+        vae = AutoencoderKLCogVideoX(VAEConfig())
+        vae.enable_tiling()
+        vparams = vae.init(jax.random.PRNGKey(3), dtype=dtype)
+        z = jax.random.normal(jax.random.PRNGKey(4), (1, 13, 60, 90, 16), dtype=dtype)
+        y = vae.decode(vparams, z)
+        float(jnp.sum(y.astype(jnp.float32)))  # compile+run
+        t0 = time.time()
+        y = vae.decode(vparams, z)
+        float(jnp.sum(y.astype(jnp.float32)))
+        decode_time = time.time() - t0
+
+    clip_time = args.steps * full_step_time + decode_time
+    clips_per_min_per_chip = 60.0 / clip_time
+    baseline = 1.0 / (60.0 / 60.0 * 8)  # 60 s/clip on 8 chips -> clips/min/chip
+
+    result = {
+        "metric": "clips/min/chip (49f x 480x720, 50-step dual-stream inpaint)",
+        "value": round(clips_per_min_per_chip, 4),
+        "unit": "clips/min/chip",
+        "vs_baseline": round(clips_per_min_per_chip / baseline, 3),
+        "detail": {
+            "step_ms_measured": round(step_time * 1e3, 1),
+            "layers_measured": cfg.num_layers,
+            "step_ms_extrapolated_42L": round(full_step_time * 1e3, 1),
+            "vae_decode_s": round(decode_time, 2),
+            "clip_s": round(clip_time, 1),
+            "compile_s": round(compile_time, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

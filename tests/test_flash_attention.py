@@ -1,0 +1,64 @@
+"""Flash / chunked attention vs exact SDPA."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videopainter_tpu.ops.attention import sdpa
+from videopainter_tpu.ops.flash_attention import chunked_attention, flash_attention
+
+
+def make_qkv(s_q=300, s_k=300, b=2, h=2, d=16, seed=0):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(k1, (b, h, s_q, d))
+    k = jax.random.normal(k2, (b, h, s_k, d))
+    v = jax.random.normal(k3, (b, h, s_k, d))
+    return q, k, v
+
+
+@pytest.mark.parametrize("s_q,s_k", [(300, 300), (256, 512), (129, 700)])
+def test_chunked_matches_exact(s_q, s_k):
+    q, k, v = make_qkv(s_q, s_k)
+    ref = sdpa(q, k, v)
+    out = chunked_attention(q, k, v, chunk=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_chunked_gradients():
+    q, k, v = make_qkv(96, 160, d=8)
+
+    def loss_exact(q, k, v):
+        return jnp.sum(sdpa(q, k, v) ** 2)
+
+    def loss_chunk(q, k, v):
+        return jnp.sum(chunked_attention(q, k, v, chunk=64) ** 2)
+
+    g_ref = jax.grad(loss_exact, argnums=(0, 1, 2))(q, k, v)
+    g_out = jax.grad(loss_chunk, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_out, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-5)
+
+
+@pytest.mark.parametrize("s_q,s_k", [(256, 512), (300, 300), (129, 1111)])
+def test_flash_matches_exact_interpret(s_q, s_k):
+    """Pallas kernel in interpret mode on CPU (real-TPU run covered by bench)."""
+    q, k, v = make_qkv(s_q, s_k)
+    ref = sdpa(q, k, v)
+    with jax.disable_jit(False):
+        from jax.experimental import pallas as pl  # noqa: F401
+        import videopainter_tpu.ops.flash_attention as fa
+
+        # interpret mode: monkeypatch pallas_call via force interpret env
+        with jax.experimental.pallas.tpu.force_tpu_interpret_mode() if hasattr(
+                jax.experimental.pallas, "tpu") else _null():
+            out = fa.flash_attention(q, k, v, blk_q=128, blk_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+class _null:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False

@@ -1,0 +1,179 @@
+"""Training subsystem tests: masks, train steps, LoRA, checkpoints."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videopainter_tpu.config import (BranchConfig, SchedulerConfig,
+                                     TransformerConfig, VAEConfig)
+from videopainter_tpu.models import (AutoencoderKLCogVideoX, CogVideoXBranch,
+                                     CogVideoXTransformer3D)
+from videopainter_tpu.models.lora import (convert_peft_lora_state_dict,
+                                          export_peft_lora_state_dict,
+                                          init_lora_params, merge_lora)
+from videopainter_tpu.schedulers import CogVideoXDDIMScheduler
+from videopainter_tpu.training import (BranchTrainConfig, init_branch_train_state,
+                                       make_branch_train_step, make_optimizer)
+from videopainter_tpu.training.checkpoint import (latest_checkpoint,
+                                                  restore_checkpoint,
+                                                  rotate_checkpoints,
+                                                  save_checkpoint)
+from videopainter_tpu.training.masks import (MaskTransformConfig,
+                                             transform_video_masks)
+from videopainter_tpu.training.train_branch import make_lora_train_step
+
+DIT_CFG = TransformerConfig.tiny(in_channels=32, out_channels=16,
+                                 sample_height=8, sample_width=12)
+DIT_CFG_RS = TransformerConfig.tiny(in_channels=32, out_channels=16,
+                                    sample_height=8, sample_width=12,
+                                    id_pool_resample_learnable=True)
+BR_CFG = BranchConfig.from_transformer(DIT_CFG, num_layers=2)
+VAE_CFG = VAEConfig.tiny(latent_channels=16)
+
+
+def test_mask_transforms_all_families():
+    vm = np.zeros((4, 96, 128), np.uint8)
+    vm[:, 30:70, 40:90] = 1
+    rng = np.random.default_rng(0)
+    for fam in ["brush", "rect", "ellipse", "circle", "random_brush"]:
+        cfg = MaskTransformConfig(**{f"p_{f}": (1.0 if f == fam else 0.0)
+                                     for f in ["brush", "rect", "ellipse",
+                                               "circle", "random_brush"]},
+                                  brush_width_range=(16, 32))
+        out = transform_video_masks(vm, cfg, rng)
+        assert out.shape == vm.shape and out.dtype == vm.dtype
+        assert set(np.unique(out)).issubset({0, 1})
+        # static families are constant across frames
+        if fam != "brush":
+            assert (out[0] == out[-1]).all()
+
+
+def test_mask_transform_empty_mask_passthrough():
+    vm = np.zeros((2, 64, 64), np.uint8)
+    cfg = MaskTransformConfig(p_brush=0, p_rect=1, p_ellipse=0, p_circle=0,
+                              p_random_brush=0)
+    out = transform_video_masks(vm, cfg, np.random.default_rng(0))
+    np.testing.assert_array_equal(out, vm)
+
+
+@pytest.fixture(scope="module")
+def tiny_stack():
+    transformer = CogVideoXTransformer3D(DIT_CFG)
+    branch = CogVideoXBranch(BR_CFG)
+    vae = AutoencoderKLCogVideoX(VAE_CFG)
+    tp = transformer.init(jax.random.PRNGKey(0))
+    bp = branch.init_from_transformer(jax.random.PRNGKey(1), tp, DIT_CFG)
+    vp = vae.init(jax.random.PRNGKey(2))
+    sched = CogVideoXDDIMScheduler(SchedulerConfig(prediction_type="v_prediction"))
+    return transformer, branch, vae, sched, tp, bp, vp
+
+
+def make_batch(b=1, t=9):
+    rng = np.random.RandomState(0)
+    return {
+        "pixel_values": jnp.asarray(rng.rand(b, t, 64, 96, 3), jnp.float32) * 2 - 1,
+        "conditioning_pixel_values": jnp.asarray(rng.rand(b, t, 64, 96, 3),
+                                                 jnp.float32) * 2 - 1,
+        "masks": (jnp.asarray(rng.rand(b, t, 64, 96), jnp.float32) > 0.5)
+        .astype(jnp.float32),
+        "prompt_embeds": jnp.asarray(rng.rand(b, 5, 12), jnp.float32),
+    }
+
+
+def test_branch_train_step_learns(tiny_stack):
+    transformer, branch, vae, sched, tp, bp, vp = tiny_stack
+    cfg = BranchTrainConfig(height=64, width=96, mask_add=True, remat=False)
+    optimizer = make_optimizer(lr=1e-3)
+    state = init_branch_train_state(bp, optimizer)
+    step = jax.jit(make_branch_train_step(transformer, branch, vae, sched,
+                                          optimizer, cfg))
+    frozen = {"transformer": tp, "vae": vp}
+    batch = make_batch()
+    state1, m1 = step(state, frozen, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m1["total_loss"]))
+    assert float(m1["gradient_norm_before_clip"]) > 0
+    # params actually moved
+    delta = jax.tree.reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()),
+        jax.tree.map(lambda a, b: a - b, state1.trainable, state.trainable), 0.0)
+    assert delta > 0
+    # frozen zero-init branch projections receive gradient (they gate the output)
+    g = float(jnp.abs(state1.trainable["branch_blocks"]["kernel"]).max())
+    assert g > 0
+
+
+def test_lora_train_step(tiny_stack):
+    transformer_rs = CogVideoXTransformer3D(DIT_CFG_RS)
+    _, branch, vae, sched, tp, bp, vp = tiny_stack
+    cfg = BranchTrainConfig(height=64, width=96, mask_add=True, remat=False,
+                            lora_rank=4, lora_alpha=2.0)
+    lora = init_lora_params(jax.random.PRNGKey(3), tp, rank=4)
+    optimizer = make_optimizer(lr=1e-3)
+    state = init_branch_train_state(lora, optimizer)
+    step = jax.jit(make_lora_train_step(transformer_rs, branch, vae, sched,
+                                        optimizer, cfg))
+    frozen = {"transformer": tp, "vae": vp, "branch": bp}
+    state1, m = step(state, frozen, make_batch(), jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["total_loss"]))
+    # B matrices start at zero; gradients flow into them
+    assert float(jnp.abs(state1.trainable["to_q"]["lora_B"]).max()) > 0
+
+
+def test_lora_merge_and_interop():
+    tp = CogVideoXTransformer3D(DIT_CFG).init(jax.random.PRNGKey(0))
+    lora = init_lora_params(jax.random.PRNGKey(1), tp, rank=4)
+    lora = jax.tree.map(lambda x: jnp.asarray(np.random.RandomState(0)
+                                              .randn(*x.shape), x.dtype) * 0.1, lora)
+    merged = merge_lora(tp, lora, alpha=2.0, rank=4)
+    dq = merged["blocks"]["attn1"]["to_q"]["kernel"] - tp["blocks"]["attn1"]["to_q"]["kernel"]
+    expect = jnp.einsum("lir,lro->lio", lora["to_q"]["lora_A"],
+                        lora["to_q"]["lora_B"]) * (2.0 / 4)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(expect), rtol=1e-5, atol=1e-6)
+    # peft round-trip
+    sd = export_peft_lora_state_dict(lora)
+    back = convert_peft_lora_state_dict(sd, num_layers=2, rank=4)
+    for tgt in lora:
+        np.testing.assert_allclose(np.asarray(lora[tgt]["lora_A"]),
+                                   back[tgt]["lora_A"], rtol=1e-6, atol=1e-7)
+
+
+def test_checkpoint_save_rotate_resume(tmp_path):
+    state = {"step": np.asarray(3), "w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    d = str(tmp_path)
+    for s in [100, 200, 300]:
+        save_checkpoint(d, s, {**state, "step": np.asarray(s)}, total_limit=2)
+    names = sorted(os.listdir(d))
+    assert "checkpoint-100" not in names and "checkpoint-300" in names
+    latest = latest_checkpoint(d)
+    assert latest.endswith("checkpoint-300")
+    restored = restore_checkpoint(latest)
+    assert int(restored["step"]) == 300
+    np.testing.assert_allclose(restored["w"], state["w"])
+
+
+def test_hf_export_roundtrip(tiny_stack):
+    """export_branch_pretrained -> convert back -> identical params."""
+    from videopainter_tpu.convert import (convert_branch_state_dict,
+                                          load_safetensors_dir)
+    from videopainter_tpu.training.checkpoint import export_branch_pretrained
+
+    *_, bp, _ = tiny_stack
+    import tempfile
+
+    bp = jax.tree.map(
+        lambda x: jnp.asarray(np.random.RandomState(1).randn(*x.shape), x.dtype) * 0.1,
+        bp)
+    with tempfile.TemporaryDirectory() as d:
+        export_branch_pretrained(bp, BR_CFG.to_dict(), d)
+        sd = load_safetensors_dir(d)
+        back = convert_branch_state_dict(sd)
+    flat_a = jax.tree_util.tree_leaves_with_path(bp)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    for path, leaf in flat_a:
+        if "pos_embedding" in str(path):
+            continue
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(flat_b[path]),
+                                   rtol=1e-6, atol=1e-7, err_msg=str(path))
