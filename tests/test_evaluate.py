@@ -1,0 +1,123 @@
+"""Evaluation metrics + harness tests."""
+
+import numpy as np
+import pytest
+
+from videopainter_tpu.evaluate.metrics import (MetricsCalculator, frechet_distance,
+                                               mae, mse, psnr, ssim,
+                                               temporal_consistency)
+
+
+def test_psnr_ssim_identity():
+    img = np.random.RandomState(0).rand(64, 64, 3)
+    assert psnr(img, img) == float("inf")
+    assert ssim(img, img) == pytest.approx(1.0, abs=1e-9)
+    assert mse(img, img) == 0 and mae(img, img) == 0
+
+
+def test_psnr_known_value():
+    a = np.zeros((32, 32, 3))
+    b = np.full((32, 32, 3), 0.1)
+    assert psnr(a, b) == pytest.approx(20.0, abs=1e-6)
+
+
+def test_ssim_matches_torchmetrics():
+    torch = pytest.importorskip("torch")
+    tm = pytest.importorskip("torchmetrics")
+    rng = np.random.RandomState(1)
+    a = rng.rand(48, 64, 3).astype(np.float32)
+    b = np.clip(a + rng.randn(48, 64, 3).astype(np.float32) * 0.05, 0, 1)
+    ref = tm.image.StructuralSimilarityIndexMeasure(data_range=1.0)
+    r = float(ref(torch.tensor(b).permute(2, 0, 1)[None],
+                  torch.tensor(a).permute(2, 0, 1)[None]))
+    np.testing.assert_allclose(ssim(b, a), r, rtol=1e-3, atol=1e-4)
+
+
+def test_frechet_distance_properties():
+    rng = np.random.RandomState(0)
+    a = rng.randn(500, 16)
+    assert frechet_distance(a, a + 0.0) == pytest.approx(0.0, abs=1e-6)
+    b = rng.randn(500, 16) + 3.0
+    d = frechet_distance(a, b)
+    assert d > 100  # mean shift of 3 in 16 dims -> ~144
+
+
+def test_temporal_consistency():
+    e = np.tile(np.random.RandomState(0).randn(8), (5, 1))
+    assert temporal_consistency(e) == pytest.approx(1.0)
+    rand = np.random.RandomState(1).randn(50, 512)
+    assert abs(temporal_consistency(rand)) < 0.3
+
+
+def test_calculator_masked_variants():
+    rng = np.random.RandomState(0)
+    gt = rng.rand(32, 48, 3)
+    pred = np.clip(gt + rng.randn(32, 48, 3) * 0.1, 0, 1)
+    mask = np.zeros((32, 48))
+    mask[8:24, 12:36] = 1
+    mc = MetricsCalculator()
+    m = mc.frame_metrics(pred, gt, mask=mask)
+    for k in ["psnr", "ssim", "mse", "mae", "masked_psnr", "masked_ssim",
+              "masked_mse", "masked_mae"]:
+        assert k in m and np.isfinite(m[k])
+    # masked mse <= global mse (fewer contributing pixels, rest zeroed equal)
+    assert m["masked_mse"] <= m["mse"] + 1e-9
+
+
+def test_harness_end_to_end(tmp_path):
+    """Tiny pipeline through the full eval loop incl. resume."""
+    import jax
+    import jax.numpy as jnp
+
+    from videopainter_tpu.config import (BranchConfig, SchedulerConfig,
+                                         TransformerConfig, VAEConfig)
+    from videopainter_tpu.evaluate import EvalConfig, run_inpainting_eval
+    from videopainter_tpu.models import (AutoencoderKLCogVideoX, CogVideoXBranch,
+                                         CogVideoXTransformer3D)
+    from videopainter_tpu.pipelines import CogVideoXI2VDualInpaintAnyLPipeline
+    from videopainter_tpu.schedulers import CogVideoXDPMScheduler
+
+    cfg = TransformerConfig.tiny(in_channels=32, out_channels=16,
+                                 sample_height=8, sample_width=12)
+    bcfg = BranchConfig.from_transformer(cfg, num_layers=2)
+    vcfg = VAEConfig.tiny(latent_channels=16)
+    transformer = CogVideoXTransformer3D(cfg)
+    branch = CogVideoXBranch(bcfg)
+    vae = AutoencoderKLCogVideoX(vcfg)
+    params = {"transformer": transformer.init(jax.random.PRNGKey(0)),
+              "vae": vae.init(jax.random.PRNGKey(1))}
+    params["branch"] = branch.init_from_transformer(jax.random.PRNGKey(2),
+                                                    params["transformer"], cfg)
+    sched = CogVideoXDPMScheduler(SchedulerConfig.cogvideox_5b_inference())
+    pipe = CogVideoXI2VDualInpaintAnyLPipeline(transformer, branch, vae, sched)
+
+    rng = np.random.RandomState(0)
+    dataset = []
+    for i in range(2):
+        video = (rng.rand(9, 64, 96, 3) * 255).astype(np.uint8)
+        masks = np.zeros((9, 64, 96), np.uint8)
+        masks[:, 20:40, 30:60] = 1
+        dataset.append({"name": f"vid{i}", "video": video, "masks": masks,
+                        "caption": "test"})
+
+    embeds = jnp.asarray(rng.rand(1, 5, 12).astype(np.float32))
+
+    def encode(prompt):
+        return embeds, jnp.zeros_like(embeds)
+
+    ecfg = EvalConfig(output_dir=str(tmp_path), num_inference_steps=2,
+                      num_frames=9, replace_gt=True, mask_add=True)
+    summary = run_inpainting_eval(pipe, params, dataset, ecfg,
+                                  encode_prompt_fn=encode)
+    assert np.isfinite(summary["psnr"]) and "time_per_frame_s" in summary
+    import os
+    assert os.path.exists(tmp_path / "results.csv")
+    assert os.path.isdir(tmp_path / "comp_frames" / "vid0")
+
+    # resume: second run skips everything (no pipeline calls -> fast)
+    import time
+
+    t0 = time.time()
+    summary2 = run_inpainting_eval(pipe, params, dataset, ecfg,
+                                   encode_prompt_fn=encode)
+    assert time.time() - t0 < 5.0
