@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -29,7 +30,7 @@ sys.path.insert(0, ".")
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--layers", type=int, default=8,
+    ap.add_argument("--layers", type=int, default=4,
                     help="backbone layers to materialize (scaled to 42)")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--tiny", action="store_true", help="smoke mode (CI)")
@@ -37,6 +38,13 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    try:  # persistent compile cache: repeat runs skip the slow remote compile
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_vp_bench"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from videopainter_tpu.config import BranchConfig, TransformerConfig, VAEConfig

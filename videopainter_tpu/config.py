@@ -109,21 +109,36 @@ class BranchConfig(TransformerConfig):
 
     num_layers: int = 2
     wo_text: bool = False
+    # VAE latent channel count; None -> inferred per the reference's 16/32
+    # convention (T2V: in==latent; I2V: in==2*latent).
+    latent_channels: Optional[int] = None
 
     @property
     def patch_in_channels(self) -> int:
-        # branch_cogvideox.py:90 — 16ch model: noisy(16)+masked(16)+mask(1)=33;
-        # 32ch I2V model: (noisy 16 + image 16)=32 +1 mask = 33.
-        if self.in_channels == 16:
-            return self.in_channels * 2 + 1
-        return self.in_channels + 1
+        # branch input = noisy latents (latent ch) ‖ masked-video latents
+        # (latent ch) ‖ mask (1). Reference (branch_cogvideox.py:90):
+        # in==16 (T2V) -> 33; in==32 (I2V, latent 16) -> 33.
+        lat = self.latent_channels
+        if lat is None:
+            lat = self.in_channels if self.in_channels == 16 else self.in_channels // 2
+        return 2 * lat + 1
+
+    @property
+    def hidden_in_channels(self) -> int:
+        """Channels of the noisy-latent stream fed to the branch."""
+        lat = self.latent_channels
+        if lat is None:
+            lat = self.in_channels if self.in_channels == 16 else self.in_channels // 2
+        return lat
 
     @classmethod
     def from_transformer(cls, t: TransformerConfig, num_layers: int = 2,
-                         wo_text: bool = False) -> "BranchConfig":
+                         wo_text: bool = False,
+                         latent_channels: Optional[int] = None) -> "BranchConfig":
         d = t.to_dict()
         d["num_layers"] = num_layers
         d["wo_text"] = wo_text
+        d["latent_channels"] = latent_channels
         return _from_dict(cls, d)
 
 

@@ -1,0 +1,232 @@
+"""Inference CLI: CSV-row-driven any-length video inpainting.
+
+Reference: infer/inpaint.py generate_video (:196-601) — loads a CSV metadata
+row + all_masks.npz, builds the AnyL pipeline (+ optional ID-resample LoRA),
+DPM trailing scheduler, long-video VAE tiling/slicing, runs with
+stride = num_frames - overlap, exports a side-by-side comparison video.
+
+Usage:
+    python -m videopainter_tpu.infer.inpaint \
+        --model_path /path/to/converted/cogvideox-5b-i2v \
+        --inpainting_branch /path/to/branch \
+        [--id_adapter /path/to/lora] \
+        --meta_file_path meta.csv --video_id 0 --output_path out/
+
+Model dirs hold converted checkpoints (HF layout: transformer/, vae/,
+text_encoder/+tokenizer/ or precomputed embeds); see convert/.
+The FluxFill first-frame pre-inpaint + GPT-4o captioning of the reference
+(:119-194) are external-model/API steps — hook points are exposed
+(`first_frame_inpaint_fn`, `caption_fn`) so deployments can plug their own.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Callable, Optional
+
+import numpy as np
+
+
+def build_pipeline(model_path: str, inpainting_branch: str,
+                   id_adapter: Optional[str] = None,
+                   dtype_str: str = "bfloat16", long_video: bool = False):
+    """Load converted weights and assemble the flagship AnyL pipeline."""
+    import jax.numpy as jnp
+
+    from ..config import (BranchConfig, SchedulerConfig, TransformerConfig,
+                          VAEConfig, load_config)
+    from ..convert import (convert_branch_state_dict,
+                           convert_transformer_state_dict,
+                           convert_vae_state_dict, load_safetensors_dir)
+    from ..models import (AutoencoderKLCogVideoX, CogVideoXBranch,
+                          CogVideoXTransformer3D)
+    from ..models.lora import convert_peft_lora_state_dict, merge_lora
+    from ..models.text_encoder import T5TextEncoder
+    from ..pipelines import CogVideoXI2VDualInpaintAnyLPipeline
+    from ..schedulers import CogVideoXDPMScheduler
+
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype_str]
+
+    tcfg = load_config(os.path.join(model_path, "transformer", "config.json"),
+                       TransformerConfig)
+    if id_adapter:
+        tcfg = TransformerConfig.from_dict(
+            {**tcfg.to_dict(), "id_pool_resample_learnable": True})
+    vcfg = load_config(os.path.join(model_path, "vae", "config.json"), VAEConfig)
+    bcfg = load_config(os.path.join(inpainting_branch, "config.json"), BranchConfig)
+
+    cast = lambda tree: __import__("jax").tree.map(
+        lambda x: jnp.asarray(x, dtype), tree)
+    params = {
+        "transformer": cast(convert_transformer_state_dict(
+            load_safetensors_dir(os.path.join(model_path, "transformer")))),
+        "vae": cast(convert_vae_state_dict(
+            load_safetensors_dir(os.path.join(model_path, "vae")))),
+        "branch": cast(convert_branch_state_dict(
+            load_safetensors_dir(inpainting_branch))),
+    }
+    if id_adapter:
+        lora_sd = load_safetensors_dir(id_adapter)
+        lora = convert_peft_lora_state_dict(lora_sd, tcfg.num_layers, rank=256)
+        params["transformer"] = merge_lora(params["transformer"], cast(lora),
+                                           alpha=128.0, rank=256)
+
+    transformer = CogVideoXTransformer3D(tcfg)
+    branch = CogVideoXBranch(bcfg)
+    vae = AutoencoderKLCogVideoX(vcfg)
+    if long_video:
+        vae.enable_slicing()
+        vae.enable_tiling()
+    sched = CogVideoXDPMScheduler(SchedulerConfig.cogvideox_5b_inference())
+
+    text_encoder = None
+    te_path = os.path.join(model_path, "text_encoder")
+    if os.path.isdir(te_path):
+        try:
+            text_encoder = T5TextEncoder.from_local(te_path)
+        except Exception as e:  # pragma: no cover
+            print(f"[warn] text encoder unavailable ({e}); pass --prompt_embeds")
+
+    pipe = CogVideoXI2VDualInpaintAnyLPipeline(transformer, branch, vae, sched,
+                                               text_encoder)
+    return pipe, params
+
+
+def read_video_with_mask(meta_file_path: str, video_id: int, data_root: str,
+                         height: int, width: int, fps: int):
+    """CSV row -> (video uint8 [T,H,W,3], masks [T,H,W]) (reference :74-117)."""
+    import pandas as pd
+
+    from ..training.data import read_video_frames, resize_video
+
+    row = pd.read_csv(meta_file_path).iloc[video_id]
+    path = os.path.join(data_root, str(row["path"])) if data_root else str(row["path"])
+    src_fps = float(row.get("fps", fps) or fps)
+    stride = max(1, int(round(src_fps / fps)))
+    video = read_video_frames(path, int(row.get("start_frame", 0) or 0),
+                              int(row.get("end_frame", 0) or 0) or None, stride)
+    video = resize_video(video, height, width)
+    mask_path = row.get("mask_path") or os.path.join(os.path.dirname(path),
+                                                     "all_masks.npz")
+    with np.load(mask_path) as npz:
+        key = str(row.get("mask_id", 0))
+        masks = npz[key if key in npz.files else npz.files[0]]
+    if masks.ndim == 4:
+        masks = masks[..., 0]
+    masks = masks[::stride][: len(video)]
+    import cv2
+
+    masks = np.stack([cv2.resize((m > 0).astype(np.uint8), (width, height),
+                                 interpolation=cv2.INTER_NEAREST) for m in masks])
+    return video, masks, str(row.get("caption", ""))
+
+
+def export_side_by_side(original01, masked01, output01, path, fps=8):
+    """Comparison video [orig | masked | output] (reference :30-49)."""
+    import cv2
+
+    h, w = original01.shape[1:3]
+    frames = np.concatenate([original01, masked01, output01], axis=2)
+    frames = (frames * 255).clip(0, 255).astype(np.uint8)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w * 3, h))
+    for f in frames:
+        vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    vw.release()
+
+
+def generate_video(args, first_frame_inpaint_fn: Optional[Callable] = None,
+                   caption_fn: Optional[Callable] = None):
+    import jax
+    import jax.numpy as jnp
+
+    pipe, params = build_pipeline(args.model_path, args.inpainting_branch,
+                                  args.id_adapter, args.dtype, args.long_video)
+
+    video_u8, masks, caption = read_video_with_mask(
+        args.meta_file_path, args.video_id, args.data_root,
+        args.height, args.width, args.fps)
+    t = len(video_u8)
+    num_frames = min(args.num_frames, (t - 1) // 4 * 4 + 1)
+    stride = num_frames - args.overlap_frames
+    usable = num_frames + max(0, (t - num_frames) // stride) * stride
+    video_u8, masks = video_u8[:usable], masks[:usable]
+
+    if caption_fn is not None:
+        caption = caption_fn(video_u8, masks, caption)
+    prompt = args.prompt or caption
+
+    video01 = video_u8.astype(np.float32) / 255.0
+    masks_f = masks.astype(np.float32)
+    if args.first_frame_gt:
+        masks_f[0] = 0.0
+    first = video01[0] * (1 - masks_f[0][..., None])
+    if first_frame_inpaint_fn is not None:  # FluxFill hook (reference :389-408)
+        first = first_frame_inpaint_fn(first, masks_f[0], prompt)
+
+    video = jnp.asarray(video01) * 2 - 1
+    image = jnp.asarray(first) * 2 - 1
+
+    if args.prompt_embeds:
+        from ..models.text_encoder import load_prompt_embeds
+
+        embeds = jnp.asarray(load_prompt_embeds(args.prompt_embeds))
+        neg = jnp.zeros_like(embeds)
+        emb_kw = dict(prompt_embeds=embeds, negative_prompt_embeds=neg)
+    else:
+        emb_kw = dict(prompt=prompt, negative_prompt=args.negative_prompt)
+
+    out = pipe(params, image=image[None], video=video[None],
+               masks=jnp.asarray(masks_f)[None],
+               num_frames=num_frames, stride=stride,
+               num_inference_steps=args.num_inference_steps,
+               guidance_scale=args.guidance_scale, use_dynamic_cfg=True,
+               replace_gt=args.replace_gt, mask_add=args.mask_add,
+               prev_clip_weight=args.prev_clip_weight,
+               id_pool_resample=bool(args.id_adapter),
+               rng=jax.random.PRNGKey(args.seed),
+               dtype={"bfloat16": jnp.bfloat16,
+                      "float32": jnp.float32}[args.dtype],
+               **emb_kw)
+    out01 = (np.asarray(out)[0] / 2 + 0.5).clip(0, 1)
+
+    masked01 = video01[: len(out01)] * (1 - masks_f[: len(out01)][..., None])
+    dst = os.path.join(args.output_path, f"video_{args.video_id}.mp4")
+    export_side_by_side(video01[: len(out01)], masked01, out01, dst, args.fps)
+    print(f"wrote {dst}")
+    return out01
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--inpainting_branch", required=True)
+    p.add_argument("--id_adapter", default=None)
+    p.add_argument("--meta_file_path", required=True)
+    p.add_argument("--data_root", default="")
+    p.add_argument("--video_id", type=int, default=0)
+    p.add_argument("--output_path", default="out")
+    p.add_argument("--prompt", default=None)
+    p.add_argument("--prompt_embeds", default=None,
+                   help="npz/npy with precomputed T5 embeds (no-T5 deployments)")
+    p.add_argument("--negative_prompt", default="")
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=720)
+    p.add_argument("--fps", type=int, default=8)
+    p.add_argument("--num_frames", type=int, default=49)
+    p.add_argument("--overlap_frames", type=int, default=0)
+    p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--guidance_scale", type=float, default=6.0)
+    p.add_argument("--prev_clip_weight", type=float, default=0.0)
+    p.add_argument("--replace_gt", action="store_true")
+    p.add_argument("--mask_add", action="store_true")
+    p.add_argument("--first_frame_gt", action="store_true")
+    p.add_argument("--long_video", action="store_true")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args(argv)
+
+
+if __name__ == "__main__":
+    generate_video(get_args())

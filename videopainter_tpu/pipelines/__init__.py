@@ -1,7 +1,25 @@
 from .inpaint import CogVideoXI2VDualInpaintPipeline
 from .inpaint_anyl import CogVideoXI2VDualInpaintAnyLPipeline
+from .variants import (
+    CogVideoXDualInpaintPipeline,
+    CogVideoXSFTInpaintPipeline,
+    CogVideoXI2VInpaintAnyLPipeline,
+    CogVideoXSelfGuidanceInpaintPipeline,
+    CogVideoXInpaintPipeline,
+    CogVideoXImageToVideoInpaintPipeline,
+    make_sft_inpaint_transformer,
+    init_sft_from_transformer,
+)
 
 __all__ = [
     "CogVideoXI2VDualInpaintPipeline",
     "CogVideoXI2VDualInpaintAnyLPipeline",
+    "CogVideoXDualInpaintPipeline",
+    "CogVideoXSFTInpaintPipeline",
+    "CogVideoXI2VInpaintAnyLPipeline",
+    "CogVideoXSelfGuidanceInpaintPipeline",
+    "CogVideoXInpaintPipeline",
+    "CogVideoXImageToVideoInpaintPipeline",
+    "make_sft_inpaint_transformer",
+    "init_sft_from_transformer",
 ]

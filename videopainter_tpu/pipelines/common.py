@@ -111,6 +111,14 @@ class DenoiseConfig:
     capture_hidden_states: bool = False   # capture per-layer states at the final step
     use_flash: bool = False
     dpm_sde: bool = True                  # draw SDE noise each DPM step
+    # "dual": branch -> backbone injection (flagship);
+    # "sft": cond channels concatenated straight into the widened backbone
+    #        (pipeline_cogvideox_inpainting_sft.py:852, no branch);
+    # "plain": no conditioning channels (latent-blend baseline,
+    #        pipeline_cogvideox_inpainting.py);
+    # "selfguidance": training-free per-step hidden-state swap
+    #        (pipeline_cogvideox_inpainting_selfguidance.py:852-880).
+    mode: str = "dual"
 
 
 def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
@@ -168,18 +176,15 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
             masked_lat = inputs.masked_video_latents
             mask = inputs.mask
 
-        if tcfg.in_channels == 2 * latents.shape[-1]:  # I2V: concat image latents
+        # I2V: image latents concatenated into the backbone input. The SFT
+        # baseline model is T2V (patch widened to in*2+1 = noisy+masked+mask,
+        # cogvideox_transformer_3d_inpainting.py:255), so no image concat there.
+        if dcfg.mode != "sft" and tcfg.in_channels == 2 * latents.shape[-1]:
             latent_model_input = jnp.concatenate([latent_video_input, image_latents], axis=-1)
         else:
             latent_model_input = latent_video_input
 
-        branch_cond = jnp.concatenate([masked_lat, mask[..., None]], axis=-1)
         timestep = jnp.broadcast_to(t, (latent_model_input.shape[0],))
-
-        branch_samples = branch.apply(
-            params["branch"], latent_video_input, inputs.prompt_embeds, branch_cond,
-            timestep, rope=rope, conditioning_scale=dcfg.conditioning_scale,
-            use_flash=dcfg.use_flash)
 
         kw: Dict[str, Any] = {}
         if prev_state is not None:
@@ -187,17 +192,65 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
             kw["prev_clip_weight"] = prev_state["prev_clip_weight"]
             kw["prev_resample_mask"] = prev_state["prev_resample_mask"]
 
-        out = transformer.apply(
-            params["transformer"], latent_model_input, inputs.prompt_embeds, timestep,
-            rope=rope,
-            branch_block_samples=branch_samples,
-            branch_block_masks=mask if dcfg.mask_add else None,
-            add_first=dcfg.add_first,
-            id_pool_resample=dcfg.id_pool_resample,
-            return_hidden_states=capture,
-            use_flash=dcfg.use_flash,
-            **kw)
-        return out
+        if dcfg.mode == "dual":
+            branch_cond = jnp.concatenate([masked_lat, mask[..., None]], axis=-1)
+            branch_samples = branch.apply(
+                params["branch"], latent_video_input, inputs.prompt_embeds,
+                branch_cond, timestep, rope=rope,
+                conditioning_scale=dcfg.conditioning_scale,
+                use_flash=dcfg.use_flash)
+            return transformer.apply(
+                params["transformer"], latent_model_input, inputs.prompt_embeds,
+                timestep, rope=rope,
+                branch_block_samples=branch_samples,
+                branch_block_masks=mask if dcfg.mask_add else None,
+                add_first=dcfg.add_first,
+                id_pool_resample=dcfg.id_pool_resample,
+                return_hidden_states=capture,
+                use_flash=dcfg.use_flash, **kw)
+
+        if dcfg.mode == "sft":
+            # widened backbone eats [noisy (‖ image) ‖ masked-video ‖ mask]
+            model_in = jnp.concatenate(
+                [latent_model_input, masked_lat, mask[..., None]], axis=-1)
+            return transformer.apply(
+                params["transformer"], model_in, inputs.prompt_embeds, timestep,
+                rope=rope, return_hidden_states=capture,
+                use_flash=dcfg.use_flash, **kw)
+
+        if dcfg.mode == "selfguidance":
+            # guidance pass: noised masked-video latents -> per-layer states,
+            # mask-swapped into the main pass (:852-880; swap at
+            # cogvideox_transformer_3d.py:593-594). States are joint
+            # [text‖video]; the swap applies to the video slice.
+            abar_t = jnp.asarray(scheduler.alphas_cumprod,
+                                 dtype=jnp.float32)[t]
+            noise_cfg = (jnp.concatenate([inputs.noise] * 2, axis=0)
+                         if dcfg.do_cfg else inputs.noise)
+            noised_masked = (jnp.sqrt(abar_t) * masked_lat.astype(jnp.float32)
+                             + jnp.sqrt(1 - abar_t) * noise_cfg.astype(jnp.float32)
+                             ).astype(masked_lat.dtype)
+            if tcfg.in_channels == 2 * latents.shape[-1]:
+                noised_masked = jnp.concatenate([noised_masked, image_latents], axis=-1)
+            g = transformer.apply(
+                params["transformer"], noised_masked, inputs.prompt_embeds,
+                timestep, rope=rope, return_hidden_states=True,
+                use_flash=dcfg.use_flash)
+            text_len = inputs.prompt_embeds.shape[1]
+            sg = g.hidden_states_list[:, :, text_len:]
+            return transformer.apply(
+                params["transformer"], latent_model_input, inputs.prompt_embeds,
+                timestep, rope=rope,
+                self_guidance_hidden_states=sg,
+                self_guidance_masks=mask,
+                return_hidden_states=capture,
+                use_flash=dcfg.use_flash, **kw)
+
+        # "plain" latent-blend baseline: bare backbone
+        return transformer.apply(
+            params["transformer"], latent_model_input, inputs.prompt_embeds,
+            timestep, rope=rope, return_hidden_states=capture,
+            use_flash=dcfg.use_flash, **kw)
 
     def scheduler_and_blend(inputs: DenoiseInputs, latents, old_x0, noise_pred, i, step_key):
         noise_pred = noise_pred.astype(jnp.float32)

@@ -38,9 +38,16 @@ from .common import (DenoiseConfig, DenoiseInputs, get_strength_timesteps,
 class CogVideoXI2VDualInpaintPipeline:
     """Functional pipeline. Call with a params dict:
     {"transformer": ..., "branch": ..., "vae": ..., ["text_encoder": ...]}.
+
+    Subclasses select the denoise mode (pipelines/variants.py): "dual" is the
+    flagship branch-injection path; "sft"/"plain"/"selfguidance" are the
+    reference's baseline pipelines.
     """
 
-    def __init__(self, transformer: CogVideoXTransformer3D, branch: CogVideoXBranch,
+    _mode = "dual"
+
+    def __init__(self, transformer: CogVideoXTransformer3D,
+                 branch: Optional[CogVideoXBranch],
                  vae: AutoencoderKLCogVideoX, scheduler, text_encoder=None):
         self.transformer = transformer
         self.branch = branch
@@ -71,9 +78,9 @@ class CogVideoXI2VDualInpaintPipeline:
 
     def prepare_inputs(
         self, params, *,
-        image: jnp.ndarray,            # [B, H, W, 3] in [-1, 1] (pixel) or
-                                       # [B, 1, h, w, C] (latent, any-length path)
         video: jnp.ndarray,            # [B, T, H, W, 3] in [-1, 1]
+        image: Optional[jnp.ndarray] = None,  # [B, H, W, 3] in [-1, 1] (pixel) or
+                                       # [B, 1, h, w, C] (latent, any-length path)
         masks: jnp.ndarray,            # [B, T, H, W] float 0/1 (1 = hole)
         rng: jax.Array,
         strength: float = 1.0,
@@ -94,7 +101,9 @@ class CogVideoXI2VDualInpaintPipeline:
         rng, k_img, k_mv, k_vid, k_noise = jax.random.split(rng, 5)
 
         # image latents, zero-padded over time (:375-383)
-        if image.ndim == 5:
+        if image is None:
+            image_latents = jnp.zeros((b, 1, h_lat, w_lat, c_lat), dtype=dtype)
+        elif image.ndim == 5:
             image_latents = image.astype(dtype)  # already latent [B,1,h,w,C]
         else:
             image_latents = self._vae_encode(params, image[:, None], k_img,
@@ -144,9 +153,9 @@ class CogVideoXI2VDualInpaintPipeline:
     # ------------------------------------------------------------------
     def __call__(
         self, params: dict, *,
-        image: jnp.ndarray,
         video: jnp.ndarray,
         masks: jnp.ndarray,
+        image: Optional[jnp.ndarray] = None,
         prompt: Optional[str] = None,
         negative_prompt: str = "",
         prompt_embeds: Optional[jnp.ndarray] = None,
@@ -206,7 +215,8 @@ class CogVideoXI2VDualInpaintPipeline:
             conditioning_scale=conditioning_scale, replace_gt=replace_gt,
             mask_add=mask_add, mask_background=mask_background, add_first=add_first,
             wo_text=wo_text, id_pool_resample=id_pool_resample,
-            is_dpm=isinstance(self.scheduler, CogVideoXDPMScheduler))
+            is_dpm=isinstance(self.scheduler, CogVideoXDPMScheduler),
+            mode=self._mode)
         denoise = self._get_denoise(dcfg, timesteps)
 
         rng, k = jax.random.split(rng)

@@ -37,9 +37,9 @@ class CogVideoXI2VDualInpaintAnyLPipeline(CogVideoXI2VDualInpaintPipeline):
 
     def __call__(  # noqa: C901
         self, params: dict, *,
-        image: jnp.ndarray,                 # [B, H, W, 3] first frame (pixels)
         video: jnp.ndarray,                 # [B, T_total, H, W, 3]
         masks: jnp.ndarray,                 # [B, T_total, H, W]
+        image: Optional[jnp.ndarray] = None,  # [B, H, W, 3] first frame (pixels)
         num_frames: int = 49,
         stride: Optional[int] = None,
         prompt: Optional[str] = None,
@@ -109,7 +109,8 @@ class CogVideoXI2VDualInpaintAnyLPipeline(CogVideoXI2VDualInpaintPipeline):
             conditioning_scale=conditioning_scale, replace_gt=replace_gt,
             mask_add=mask_add, mask_background=mask_background, add_first=add_first,
             wo_text=wo_text, id_pool_resample=id_pool_resample,
-            is_dpm=isinstance(self.scheduler, CogVideoXDPMScheduler))
+            is_dpm=isinstance(self.scheduler, CogVideoXDPMScheduler),
+            mode=self._mode)
 
         prev_state: Optional[Dict[str, Any]] = None
         latents = None
