@@ -122,6 +122,13 @@ def main():
 
     decode_time = 0.0
     if not args.skip_vae and not args.tiny:
+        # free the DiT params before the VAE leg: both stacks resident would
+        # exceed one chip's HBM (deployment overlaps them across windows on
+        # separate chips instead)
+        del params, latents, latents2, cur, masked, image_latents, embeds
+        import gc
+
+        gc.collect()
         vae = AutoencoderKLCogVideoX(VAEConfig())
         vae.enable_tiling()
         vparams = vae.init(jax.random.PRNGKey(3), dtype=dtype)

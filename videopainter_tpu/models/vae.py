@@ -304,16 +304,23 @@ class AutoencoderKLCogVideoX:
         self.tile_overlap_factor_width = 1 / 5
         self.use_tiling = False
         self.use_slicing = False
-        # jit cache: (kind, input shape/dtype, tiling/slicing mode) -> compiled fn.
-        # Tiling mode and shapes are static (Python control flow); params are traced.
+        # jit cache keyed per frame-batch shape + cache presence: each encoder/
+        # decoder frame-batch pass is its own small compiled program (fast
+        # remote compile; tiles and batches reuse the same executable).
         self._jit_cache: Dict[Any, Any] = {}
 
-    def _jitted(self, kind: str, fn, shape, dtype):
-        key = (kind, tuple(shape), str(dtype), self.use_tiling, self.use_slicing,
-               self.tile_sample_min_height, self.tile_sample_min_width,
-               self.tile_overlap_factor_height, self.tile_overlap_factor_width)
+    def _jitted_encoder(self, shape, dtype, has_cache):
+        key = ("enc", tuple(shape), str(dtype), has_cache)
         if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(fn)
+            self._jit_cache[key] = jax.jit(
+                lambda p, x, c: encoder_apply(p, self.cfg, x, c))
+        return self._jit_cache[key]
+
+    def _jitted_decoder(self, shape, dtype, has_cache):
+        key = ("dec", tuple(shape), str(dtype), has_cache)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda p, z, c: decoder_apply(p, self.cfg, z, c))
         return self._jit_cache[key]
 
     # -- config toggles (mirror reference API) -------------------------------
@@ -427,7 +434,9 @@ class AutoencoderKLCogVideoX:
         for i in range(max(num_batches, 1)):
             s = fbs * i + (0 if i == 0 else rem)
             e = fbs * (i + 1) + rem
-            y, cache = encoder_apply(params["encoder"], self.cfg, x[:, s:e], cache)
+            xb = x[:, s:e]
+            fn = self._jitted_encoder(xb.shape, xb.dtype, cache is not None)
+            y, cache = fn(params["encoder"], xb, cache)
             outs.append(y)
         return jnp.concatenate(outs, axis=1)
 
@@ -440,13 +449,11 @@ class AutoencoderKLCogVideoX:
     def encode(self, params: dict, x: jnp.ndarray) -> DiagonalGaussian:
         """x: [B, T, H, W, 3] → DiagonalGaussian over [B, T', H/8, W/8, C_lat]."""
 
-        def run(params, x):
-            if self.use_slicing and x.shape[0] > 1:
-                return jnp.concatenate([self._encode_single(params, x[i:i + 1])
-                                        for i in range(x.shape[0])], axis=0)
-            return self._encode_single(params, x)
-
-        h = self._jitted("encode", run, x.shape, x.dtype)(params, x)
+        if self.use_slicing and x.shape[0] > 1:
+            h = jnp.concatenate([self._encode_single(params, x[i:i + 1])
+                                 for i in range(x.shape[0])], axis=0)
+        else:
+            h = self._encode_single(params, x)
         mean, logvar = jnp.split(h, 2, axis=-1)
         return DiagonalGaussian(mean, logvar)
 
@@ -459,7 +466,9 @@ class AutoencoderKLCogVideoX:
         for i in range(num_batches):
             s = fbs * i + (0 if i == 0 else rem)
             e = fbs * (i + 1) + rem
-            y, cache = decoder_apply(params["decoder"], self.cfg, z[:, s:e], cache)
+            zb = z[:, s:e]
+            fn = self._jitted_decoder(zb.shape, zb.dtype, cache is not None)
+            y, cache = fn(params["decoder"], zb, cache)
             outs.append(y)
         return jnp.concatenate(outs, axis=1)
 
@@ -472,15 +481,12 @@ class AutoencoderKLCogVideoX:
     def decode(self, params: dict, z: jnp.ndarray) -> jnp.ndarray:
         """z: [B, T, h, w, C_lat] → [B, T_out, H, W, 3]."""
 
-        def run(params, z):
-            if z.shape[1] == 1:
-                z = jnp.concatenate([z, z], axis=1)  # reference :1180-1181
-            if self.use_slicing and z.shape[0] > 1:
-                return jnp.concatenate([self._decode_single(params, z[i:i + 1])
-                                        for i in range(z.shape[0])], axis=0)
-            return self._decode_single(params, z)
-
-        return self._jitted("decode", run, z.shape, z.dtype)(params, z)
+        if z.shape[1] == 1:
+            z = jnp.concatenate([z, z], axis=1)  # reference :1180-1181
+        if self.use_slicing and z.shape[0] > 1:
+            return jnp.concatenate([self._decode_single(params, z[i:i + 1])
+                                    for i in range(z.shape[0])], axis=0)
+        return self._decode_single(params, z)
 
     # -- tiling --------------------------------------------------------------
     @staticmethod

@@ -1,0 +1,170 @@
+"""Training driver: the end-to-end branch / LoRA training loop.
+
+Reference: train/train_cogvideox_inpainting_i2v_video.py main (:1316-2058) —
+model loading/freezing, optimizer, dataloader, epoch loop, per-step metric
+logging (loss, inpainting_loss, lr, gradient norms :1937-1946), checkpoint
+rotation (:1912-1933), periodic pipeline validation logged as videos
+(:1948-2050, log_validation :1026-1110), first-batch visual sanity dump
+(:1744-1772), resume-from-latest (:1694-1719).
+
+TPU-native: one jitted train step (training/train_branch.py) over a
+data-parallel mesh; logging via the pluggable Logger (wandb if available,
+JSONL otherwise); orbax checkpoints.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+class Logger:
+    """wandb when importable+configured, JSONL fallback otherwise."""
+
+    def __init__(self, output_dir: str, project: str = "videopainter-tpu",
+                 run_name: Optional[str] = None, use_wandb: bool = True):
+        self.jsonl = open(os.path.join(output_dir, "train_log.jsonl"), "a")
+        self.wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                self.wandb = wandb
+                wandb.init(project=project, name=run_name, dir=output_dir)
+            except Exception:
+                self.wandb = None
+
+    def log(self, metrics: Dict[str, Any], step: int):
+        rec = {k: float(v) for k, v in metrics.items()
+               if isinstance(v, (int, float, np.floating)) or
+               (hasattr(v, "shape") and getattr(v, "shape", None) == ())}
+        rec["step"] = step
+        self.jsonl.write(json.dumps(rec) + "\n")
+        self.jsonl.flush()
+        if self.wandb is not None:
+            self.wandb.log(rec, step=step)
+
+    def log_video(self, name: str, video01: np.ndarray, step: int, fps: int = 8):
+        if self.wandb is not None:
+            frames = (video01 * 255).clip(0, 255).astype(np.uint8)
+            self.wandb.log({name: self.wandb.Video(
+                frames.transpose(0, 3, 1, 2), fps=fps)}, step=step)
+
+
+@dataclass
+class TrainerConfig:
+    output_dir: str = "runs/branch"
+    max_train_steps: int = 10000
+    learning_rate: float = 1e-5
+    lr_warmup_steps: int = 100
+    lr_num_cycles: int = 1
+    batch_size: int = 1
+    checkpointing_steps: int = 500
+    checkpoints_total_limit: Optional[int] = 5
+    validating_steps: int = 256
+    log_every: int = 10
+    resume_from_checkpoint: Optional[str] = "latest"
+    seed: int = 42
+    mode: str = "branch"  # or "lora"
+
+
+def dump_first_batch(batch: Dict, out_dir: str) -> None:
+    """First-batch visual sanity dump (reference :1744-1772)."""
+    try:
+        import cv2
+    except ImportError:
+        return
+    for j in range(min(2, batch["pixel_values"].shape[1])):
+        px = ((np.asarray(batch["pixel_values"][0, j]) + 1) * 127.5).clip(0, 255)
+        cd = ((np.asarray(batch["conditioning_pixel_values"][0, j]) + 1) * 127.5).clip(0, 255)
+        mk = np.repeat(np.asarray(batch["masks"][0, j])[..., None] * 255, 3, -1)
+        combo = np.hstack([px, cd, mk]).astype(np.uint8)
+        cv2.imwrite(os.path.join(out_dir, f"training_sample_{j}.png"),
+                    cv2.cvtColor(combo, cv2.COLOR_RGB2BGR))
+
+
+def train(transformer, branch, vae, scheduler, frozen_params: dict,
+          data_iter, tcfg: TrainerConfig, bcfg,
+          validation_fn=None, initial_trainable=None):
+    """Run the training loop. `data_iter` yields collated batches with
+    prompt_embeds already computed (or a text encoder embedded upstream).
+    `validation_fn(trainable, step) -> video01 | None` runs the full pipeline
+    periodically (reference log_validation)."""
+    import jax
+
+    from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+    from .optim import cosine_with_restarts_schedule, make_optimizer
+    from .train_branch import (BranchTrainState, init_branch_train_state,
+                               make_branch_train_step, make_lora_train_step)
+
+    os.makedirs(tcfg.output_dir, exist_ok=True)
+    logger = Logger(tcfg.output_dir)
+    schedule = cosine_with_restarts_schedule(tcfg.learning_rate,
+                                             tcfg.lr_warmup_steps,
+                                             tcfg.max_train_steps,
+                                             tcfg.lr_num_cycles)
+    optimizer = make_optimizer(schedule=schedule,
+                               max_grad_norm=bcfg.max_grad_norm)
+
+    if initial_trainable is None:
+        raise ValueError("initial_trainable (branch params or LoRA tree) required")
+    state = init_branch_train_state(initial_trainable, optimizer)
+
+    start_step = 0
+    if tcfg.resume_from_checkpoint:
+        path = (latest_checkpoint(tcfg.output_dir)
+                if tcfg.resume_from_checkpoint == "latest"
+                else tcfg.resume_from_checkpoint)
+        if path:
+            template = {"step": np.asarray(0),
+                        "trainable": jax.tree.map(np.asarray, state.trainable),
+                        "opt_state": jax.tree.map(np.asarray, state.opt_state)}
+            restored = restore_checkpoint(path, template)
+            state = BranchTrainState(step=np.asarray(restored["step"]),
+                                     trainable=restored["trainable"],
+                                     opt_state=restored["opt_state"])
+            start_step = int(np.asarray(state.step))
+            print(f"resumed from {path} at step {start_step}")
+
+    make_step = (make_branch_train_step if tcfg.mode == "branch"
+                 else make_lora_train_step)
+    step_fn = jax.jit(make_step(transformer, branch, vae, scheduler,
+                                optimizer, bcfg))
+
+    rng = jax.random.PRNGKey(tcfg.seed)
+    t0 = time.time()
+    for step in range(start_step, tcfg.max_train_steps):
+        batch = next(data_iter)
+        if step == start_step:
+            dump_first_batch(batch, tcfg.output_dir)
+        rng, k = jax.random.split(rng)
+        state, metrics = step_fn(state, frozen_params, batch, k)
+
+        if step % tcfg.log_every == 0:
+            metrics = {k2: float(v) for k2, v in metrics.items()}
+            metrics["lr"] = float(schedule(step))
+            metrics["steps_per_sec"] = tcfg.log_every / max(time.time() - t0, 1e-9)
+            t0 = time.time()
+            logger.log(metrics, step)
+
+        if (step + 1) % tcfg.checkpointing_steps == 0:
+            save_checkpoint(tcfg.output_dir, step + 1,
+                            {"step": np.asarray(step + 1),
+                             "trainable": jax.tree.map(np.asarray, state.trainable),
+                             "opt_state": jax.tree.map(np.asarray, state.opt_state)},
+                            total_limit=tcfg.checkpoints_total_limit)
+
+        if validation_fn is not None and (step + 1) % tcfg.validating_steps == 0:
+            try:  # validation failures must not kill training (reference :2034-2050)
+                video01 = validation_fn(state.trainable, step + 1)
+                if video01 is not None:
+                    logger.log_video("validation", video01, step + 1)
+            except Exception as e:
+                print(f"[warn] validation failed at step {step + 1}: {e}")
+
+    return state
