@@ -1,0 +1,59 @@
+"""Extractor machinery tests (architecture-level; no pretrained weights in CI)."""
+
+import numpy as np
+import pytest
+
+from videopainter_tpu.evaluate.extractors import (_I3D_LAYERS,
+                                                  convert_i3d_state_dict,
+                                                  i3d_extract_features)
+
+
+def random_i3d_sd(seed=0):
+    """Synthetic pytorch-i3d-style state dict covering all layers."""
+    rng = np.random.RandomState(seed)
+    sd = {}
+    in_ch = 3
+
+    def add_unit(prefix, cin, cout, k):
+        sd[f"{prefix}.conv3d.weight"] = rng.randn(cout, cin, *k).astype(np.float32) * 0.05
+        sd[f"{prefix}.bn.weight"] = np.ones(cout, np.float32)
+        sd[f"{prefix}.bn.bias"] = np.zeros(cout, np.float32)
+        sd[f"{prefix}.bn.running_mean"] = rng.randn(cout).astype(np.float32) * 0.01
+        sd[f"{prefix}.bn.running_var"] = np.ones(cout, np.float32)
+
+    for name, kind, spec in _I3D_LAYERS:
+        if kind == "conv":
+            cout, k, _ = spec
+            add_unit(name, in_ch, cout, k)
+            in_ch = cout
+        elif kind == "mixed":
+            b0, b1a, b1b, b2a, b2b, b3b = spec
+            add_unit(f"{name}.b0", in_ch, b0, (1, 1, 1))
+            add_unit(f"{name}.b1a", in_ch, b1a, (1, 1, 1))
+            add_unit(f"{name}.b1b", b1a, b1b, (3, 3, 3))
+            add_unit(f"{name}.b2a", in_ch, b2a, (1, 1, 1))
+            add_unit(f"{name}.b2b", b2a, b2b, (3, 3, 3))
+            add_unit(f"{name}.b3b", in_ch, b3b, (1, 1, 1))
+            in_ch = b0 + b1b + b2b + b3b
+    return sd
+
+
+def test_i3d_forward_shapes():
+    params = convert_i3d_state_dict(random_i3d_sd())
+    video = np.random.RandomState(0).rand(1, 16, 64, 64, 3).astype(np.float32) * 2 - 1
+    feats = i3d_extract_features(params, video)
+    assert feats.shape == (1, 1024)
+    assert np.isfinite(feats).all()
+
+
+def test_i3d_bn_folding():
+    """Nontrivial BN stats must change the output (folded correctly)."""
+    sd = random_i3d_sd()
+    params_a = convert_i3d_state_dict(sd)
+    sd2 = dict(sd)
+    sd2["Conv3d_1a_7x7.bn.running_mean"] = sd["Conv3d_1a_7x7.bn.running_mean"] + 1.0
+    params_b = convert_i3d_state_dict(sd2)
+    video = np.random.RandomState(1).rand(1, 8, 32, 32, 3).astype(np.float32)
+    fa = i3d_extract_features(params_a, video)
+    fb = i3d_extract_features(params_b, video)
+    assert np.abs(fa - fb).max() > 0
