@@ -128,3 +128,34 @@ def test_predictor_click_and_propagate():
 
     predictor.reset_state(state)
     assert not state.cond_outputs and not state.points
+
+
+def test_image_predictor_and_amg():
+    from videopainter_tpu.segmentation.image_predictor import (
+        AutoMaskConfig, SAM2AutomaticMaskGenerator, SAM2ImagePredictor)
+
+    cfg, params = tiny_params(jax.random.PRNGKey(0))
+    pred = SAM2ImagePredictor(cfg, params)
+    img = (np.random.RandomState(0).rand(48, 72, 3) * 255).astype(np.uint8)
+    with pytest.raises(RuntimeError):
+        pred.predict(point_coords=np.array([[1.0, 1.0]]),
+                     point_labels=np.array([1]))
+    pred.set_image(img)
+    masks, iou, low = pred.predict(point_coords=np.array([[36.0, 24.0]]),
+                                   point_labels=np.array([1]),
+                                   multimask_output=True)
+    assert masks.shape == (3, 48, 72) and masks.dtype == bool
+    assert iou.shape == (3,)
+    # box prompt
+    m2, _, _ = pred.predict(box=np.array([10, 10, 60, 40], np.float32),
+                            multimask_output=False)
+    assert m2.shape == (1, 48, 72)
+
+    amg = SAM2AutomaticMaskGenerator(
+        pred, AutoMaskConfig(points_per_side=3, pred_iou_thresh=-10.0,
+                             stability_score_thresh=0.0))
+    props = amg.generate(img)
+    assert isinstance(props, list)
+    for c in props:
+        assert {"segmentation", "predicted_iou", "stability_score",
+                "bbox", "area"} <= set(c)

@@ -1,0 +1,175 @@
+"""SAM2 single-image predictor + automatic mask generator.
+
+Reference: app/sam2/sam2_image_predictor.py (set_image/predict, 446 LoC) and
+app/sam2/automatic_mask_generator.py (grid prompting + quality filtering +
+NMS dedup, 434 LoC). Compact JAX equivalents sharing the video predictor's
+modules and weights.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .hiera import HieraImageEncoder
+from .modules import conv2d
+from .predictor import SAM2Config, _IMG_MEAN, _IMG_STD
+from .sam_heads import get_dense_pe, mask_decoder, prompt_encoder
+
+
+class SAM2ImagePredictor:
+    def __init__(self, cfg: SAM2Config, params: dict):
+        self.cfg = cfg
+        self.params = params
+        self._encode = jax.jit(
+            lambda p, img: HieraImageEncoder(cfg.hiera).apply(p, img))
+        self._features = None
+        self._orig_hw: Optional[Tuple[int, int]] = None
+
+    def set_image(self, image: np.ndarray) -> None:
+        """image [H, W, 3] uint8 or float [0,1]."""
+        import cv2
+
+        self._orig_hw = image.shape[:2]
+        if image.dtype == np.uint8:
+            image = image.astype(np.float32) / 255.0
+        s = self.cfg.image_size
+        img = cv2.resize(image, (s, s), interpolation=cv2.INTER_AREA)
+        img = (img - _IMG_MEAN) / _IMG_STD
+        self._features = self._encode(self.params["image_encoder"],
+                                      jnp.asarray(img[None]))
+
+    def predict(self, point_coords: Optional[np.ndarray] = None,
+                point_labels: Optional[np.ndarray] = None,
+                box: Optional[np.ndarray] = None,
+                multimask_output: bool = True):
+        """Coords in original-image pixels. Returns (masks [K, H, W] bool,
+        iou [K], low_res_logits [K, h*4, w*4])."""
+        if self._features is None:
+            raise RuntimeError("call set_image first")
+        cfg = self.cfg
+        p = self.params
+        top = self._features["backbone_fpn"][-1]
+        h, w = top.shape[1:3]
+        sy = cfg.image_size / self._orig_hw[0]
+        sx = cfg.image_size / self._orig_hw[1]
+
+        pts = lbl = None
+        if point_coords is not None:
+            pts = jnp.asarray(point_coords, jnp.float32)[None] * \
+                jnp.asarray([sx, sy])
+            lbl = jnp.asarray(point_labels, jnp.int32)[None]
+        boxes = None
+        if box is not None:
+            boxes = jnp.asarray(box, jnp.float32).reshape(1, 4) * \
+                jnp.asarray([sx, sy, sx, sy])
+
+        hi_res = None
+        if "conv_s0" in p["mask_decoder"] and len(self._features["backbone_fpn"]) >= 3:
+            hi_res = [conv2d(p["mask_decoder"]["conv_s0"],
+                             self._features["backbone_fpn"][0]),
+                      conv2d(p["mask_decoder"]["conv_s1"],
+                             self._features["backbone_fpn"][1])]
+
+        sparse, dense = prompt_encoder(
+            p["prompt_encoder"], image_embedding_size=(h, w),
+            input_image_size=(cfg.image_size, cfg.image_size),
+            points=(pts, lbl) if pts is not None else None, boxes=boxes)
+        masks, iou, _, _ = mask_decoder(
+            p["mask_decoder"], image_embeddings=top,
+            image_pe=get_dense_pe(p["prompt_encoder"], (h, w)),
+            sparse_prompt_embeddings=sparse, dense_prompt_embeddings=dense,
+            multimask_output=multimask_output, num_heads=cfg.mask_decoder_heads,
+            high_res_features=hi_res)
+        low_res = np.asarray(masks[0])
+        full = jax.image.resize(masks[0], (masks.shape[1], *self._orig_hw),
+                                "bilinear")
+        return np.asarray(full) > 0, np.asarray(iou[0]), low_res
+
+
+# ---------------------------------------------------------------------------
+# automatic mask generation
+# ---------------------------------------------------------------------------
+
+@dataclass
+class AutoMaskConfig:
+    points_per_side: int = 16
+    pred_iou_thresh: float = 0.8
+    stability_score_thresh: float = 0.9
+    stability_offset: float = 1.0
+    box_nms_thresh: float = 0.7
+    min_mask_region_area: int = 0
+
+
+def _stability_score(logits: np.ndarray, offset: float) -> float:
+    hi = (logits > offset).sum()
+    lo = (logits > -offset).sum()
+    return float(hi / lo) if lo > 0 else 1.0
+
+
+def _mask_to_box(mask: np.ndarray):
+    ys, xs = np.where(mask)
+    if len(ys) == 0:
+        return None
+    return np.array([xs.min(), ys.min(), xs.max(), ys.max()], np.float32)
+
+
+def _box_iou(a, b):
+    x0 = max(a[0], b[0]); y0 = max(a[1], b[1])
+    x1 = min(a[2], b[2]); y1 = min(a[3], b[3])
+    inter = max(0, x1 - x0) * max(0, y1 - y0)
+    area = ((a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+    return inter / area if area > 0 else 0.0
+
+
+class SAM2AutomaticMaskGenerator:
+    """Grid-prompted mask proposals with quality filtering + box NMS."""
+
+    def __init__(self, predictor: SAM2ImagePredictor,
+                 cfg: AutoMaskConfig = AutoMaskConfig()):
+        self.predictor = predictor
+        self.cfg = cfg
+
+    def generate(self, image: np.ndarray) -> List[dict]:
+        self.predictor.set_image(image)
+        h, w = image.shape[:2]
+        n = self.cfg.points_per_side
+        xs = (np.arange(n) + 0.5) / n * w
+        ys = (np.arange(n) + 0.5) / n * h
+
+        candidates = []
+        for y in ys:
+            for x in xs:
+                masks, ious, low = self.predictor.predict(
+                    point_coords=np.array([[x, y]], np.float32),
+                    point_labels=np.array([1], np.int32),
+                    multimask_output=True)
+                for k in range(masks.shape[0]):
+                    if ious[k] < self.cfg.pred_iou_thresh:
+                        continue
+                    stab = _stability_score(low[k], self.cfg.stability_offset)
+                    if stab < self.cfg.stability_score_thresh:
+                        continue
+                    box = _mask_to_box(masks[k])
+                    if box is None:
+                        continue
+                    area = int(masks[k].sum())
+                    if area < self.cfg.min_mask_region_area:
+                        continue
+                    candidates.append({"segmentation": masks[k],
+                                       "predicted_iou": float(ious[k]),
+                                       "stability_score": stab,
+                                       "bbox": box, "area": area,
+                                       "point_coords": [[float(x), float(y)]]})
+        # box NMS by predicted iou
+        candidates.sort(key=lambda c: -c["predicted_iou"])
+        kept: List[dict] = []
+        for c in candidates:
+            if all(_box_iou(c["bbox"], k["bbox"]) < self.cfg.box_nms_thresh
+                   for k in kept):
+                kept.append(c)
+        return kept
