@@ -53,11 +53,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[:].astype(jnp.float32) * scale
-    k = k_ref[:]
-    v = v_ref[:]
-    s = jax.lax.dot_general(q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [BLK_Q, BLK_K]
+    # bf16 inputs straight into the MXU with fp32 accumulation (an f32 x f32
+    # matmul costs multiple MXU passes); scale applied to the f32 scores.
+    s = jax.lax.dot_general(q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
     col = jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1) + j * blk_k
     s = jnp.where(col < kv_len, s, NEG_INF)
 
@@ -68,7 +67,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
     alpha = jnp.exp(m_prev - m_new)
     l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        p.astype(v_ref.dtype), v_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
     l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)

@@ -269,6 +269,7 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
         else:
             latents, x0 = scheduler.step(coeffs, i, noise_pred, latents)
         if dcfg.replace_gt:
+            dtype = latents.dtype
             init_latents = (inputs.video_latents * sqrt_ab[i]
                             + inputs.noise * sqrt_1mab[i]) * renoise[i] \
                 + inputs.video_latents * (1.0 - renoise[i])
@@ -277,6 +278,7 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
                 latents = m * init_latents + (1 - m) * latents
             else:
                 latents = (1 - m) * init_latents + m * latents
+            latents = latents.astype(dtype)  # keep the scan carry dtype stable
         return latents, x0
 
     def denoise(params, inputs: DenoiseInputs, rope, rng, prev_state=None):
