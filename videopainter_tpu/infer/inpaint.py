@@ -56,8 +56,9 @@ def build_pipeline(model_path: str, inpainting_branch: str,
     vcfg = load_config(os.path.join(model_path, "vae", "config.json"), VAEConfig)
     bcfg = load_config(os.path.join(inpainting_branch, "config.json"), BranchConfig)
 
-    cast = lambda tree: __import__("jax").tree.map(
-        lambda x: jnp.asarray(x, dtype), tree)
+    import jax
+
+    cast = lambda tree: jax.tree.map(lambda x: jnp.asarray(x, dtype), tree)
     params = {
         "transformer": cast(convert_transformer_state_dict(
             load_safetensors_dir(os.path.join(model_path, "transformer")))),

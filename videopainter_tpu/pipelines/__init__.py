@@ -1,5 +1,10 @@
 from .inpaint import CogVideoXI2VDualInpaintPipeline
 from .inpaint_anyl import CogVideoXI2VDualInpaintAnyLPipeline
+from .generation import (
+    CogVideoXPipeline,
+    CogVideoXImageToVideoPipeline,
+    CogVideoXVideoToVideoPipeline,
+)
 from .variants import (
     CogVideoXDualInpaintPipeline,
     CogVideoXSFTInpaintPipeline,
@@ -12,6 +17,9 @@ from .variants import (
 )
 
 __all__ = [
+    "CogVideoXPipeline",
+    "CogVideoXImageToVideoPipeline",
+    "CogVideoXVideoToVideoPipeline",
     "CogVideoXI2VDualInpaintPipeline",
     "CogVideoXI2VDualInpaintAnyLPipeline",
     "CogVideoXDualInpaintPipeline",

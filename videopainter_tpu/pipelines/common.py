@@ -16,8 +16,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +25,7 @@ import numpy as np
 from ..config import TransformerConfig
 from ..models.vae import nearest_resize3d
 from ..ops.rope import get_3d_rotary_pos_embed, get_resize_crop_region_for_grid
-from ..schedulers import CogVideoXDDIMScheduler, CogVideoXDPMScheduler
+from ..schedulers import CogVideoXDPMScheduler
 
 
 def get_strength_timesteps(timesteps: np.ndarray, num_inference_steps: int,

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,9 +47,12 @@ class HieraConfig:
     window_pos_embed_bkg_spatial_size: Tuple[int, int] = (14, 14)
     window_spec: Tuple[int, ...] = (8, 4, 14, 7)
     global_att_blocks: Tuple[int, ...] = (12, 16, 20)
-    # neck
+    # neck (reference image_encoder.py FpnNeck; the shipped SAM2 configs use
+    # fpn_top_down_levels=[2, 3] with nearest interpolation)
     d_model: int = 256
     scalp: int = 1
+    fpn_top_down_levels: Optional[Tuple[int, ...]] = None  # None = all levels
+    fpn_interp: str = "bilinear"
 
     @property
     def depth(self):
@@ -202,15 +205,22 @@ class HieraImageEncoder:
         n = len(feats) - 1
         out = [None] * len(feats)
         pos = [None] * len(feats)
+        top_down_levels = (cfg.fpn_top_down_levels
+                           if cfg.fpn_top_down_levels is not None
+                           else tuple(range(len(feats))))
         prev = None
         for i in range(n, -1, -1):
             lateral = conv2d(params["neck"]["convs"][n - i], feats[i])
-            if prev is not None:
-                top_down = jax.image.resize(
-                    prev.astype(jnp.float32),
-                    (prev.shape[0], prev.shape[1] * 2, prev.shape[2] * 2,
-                     prev.shape[3]), "bilinear").astype(lateral.dtype)
-                prev = lateral + top_down
+            if prev is not None and i in top_down_levels:
+                shape = (prev.shape[0], prev.shape[1] * 2, prev.shape[2] * 2,
+                         prev.shape[3])
+                if cfg.fpn_interp == "nearest":
+                    top_down = jnp.repeat(jnp.repeat(prev, 2, axis=1), 2, axis=2)
+                else:
+                    top_down = jax.image.resize(
+                        prev.astype(jnp.float32), shape,
+                        cfg.fpn_interp).astype(lateral.dtype)
+                prev = lateral + top_down.astype(lateral.dtype)
             else:
                 prev = lateral
             out[i] = prev
@@ -222,3 +232,29 @@ class HieraImageEncoder:
             out, pos = out[: -cfg.scalp], pos[: -cfg.scalp]
         return {"backbone_fpn": out, "vision_pos_enc": pos,
                 "vision_features": out[-1]}
+
+
+# -- shipped SAM2 model presets (app/sam2_configs/sam2_hiera_{t,s,b+,l}.yaml) --
+
+def hiera_config(variant: str) -> HieraConfig:
+    """Hiera trunk + neck config for the published SAM2 checkpoints."""
+    common = dict(d_model=256, scalp=1, fpn_top_down_levels=(2, 3),
+                  fpn_interp="nearest",
+                  window_pos_embed_bkg_spatial_size=(7, 7))
+    presets = {
+        "tiny": dict(embed_dim=96, num_heads=1, stages=(1, 2, 7, 2),
+                     global_att_blocks=(5, 7, 9), window_spec=(8, 4, 14, 7)),
+        "small": dict(embed_dim=96, num_heads=1, stages=(1, 2, 11, 2),
+                      global_att_blocks=(7, 10, 13), window_spec=(8, 4, 14, 7)),
+        "base_plus": dict(embed_dim=112, num_heads=2, stages=(2, 3, 16, 3),
+                          global_att_blocks=(12, 16, 20),
+                          window_spec=(8, 4, 14, 7),
+                          window_pos_embed_bkg_spatial_size=(14, 14)),
+        "large": dict(embed_dim=144, num_heads=2, stages=(2, 6, 36, 4),
+                      global_att_blocks=(23, 33, 43), window_spec=(8, 4, 16, 8)),
+    }
+    if variant not in presets:
+        raise ValueError(f"unknown variant {variant}; choose {list(presets)}")
+    kw = dict(common)
+    kw.update(presets[variant])
+    return HieraConfig(**kw)

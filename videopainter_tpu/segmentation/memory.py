@@ -102,8 +102,7 @@ def memory_attention(
 
 
 def memory_encoder(p: dict, pix_feat: jnp.ndarray, masks: jnp.ndarray, *,
-                   skip_mask_sigmoid: bool = False,
-                   pos_feats: int = 64):
+                   skip_mask_sigmoid: bool = False):
     """MemoryEncoder (reference :138-181). pix_feat [B, h, w, C]; masks
     [B, H, W, 1] logits at image resolution. Returns (feat [B,h,w,C_out], pos)."""
     if not skip_mask_sigmoid:

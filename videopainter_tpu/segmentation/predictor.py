@@ -17,7 +17,6 @@ jitted with static shapes (memory length padded to the maximum bank size).
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
