@@ -165,3 +165,102 @@ def export_lora_weights(lora_params: dict, out_dir: str) -> None:
     sd = export_peft_lora_state_dict(lora_params)
     save_file({k: np.asarray(v, dtype=np.float32) for k, v in sd.items()},
               os.path.join(out_dir, "pytorch_lora_weights.safetensors"))
+
+
+def _flatten_vae_to_torch_names(params: dict) -> Dict[str, np.ndarray]:
+    """Our VAE pytree -> reference torch state-dict naming (inverse of
+    convert/torch_to_flax.py convert_vae_state_dict)."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_conv3d(prefix, p):
+        # DHWIO -> [O, I, kt, kh, kw]
+        sd[f"{prefix}.weight"] = np.ascontiguousarray(
+            np.asarray(p["kernel"]).transpose(4, 3, 0, 1, 2))
+        if "bias" in p:
+            sd[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+    def put_conv2d(prefix, p):
+        sd[f"{prefix}.weight"] = np.ascontiguousarray(
+            np.asarray(p["kernel"]).transpose(3, 2, 0, 1))
+        if "bias" in p:
+            sd[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+    def put_norm(prefix, p):
+        sd[f"{prefix}.weight"] = np.asarray(p["scale"])
+        sd[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+    def put_spatial(prefix, p):
+        put_norm(f"{prefix}.norm_layer", p["norm_layer"])
+        put_conv3d(f"{prefix}.conv_y.conv", p["conv_y"]["conv"])
+        put_conv3d(f"{prefix}.conv_b.conv", p["conv_b"]["conv"])
+
+    def put_resnet(prefix, p, spatial):
+        put_conv3d(f"{prefix}.conv1.conv", p["conv1"]["conv"])
+        put_conv3d(f"{prefix}.conv2.conv", p["conv2"]["conv"])
+        if spatial:
+            put_spatial(f"{prefix}.norm1", p["norm1"])
+            put_spatial(f"{prefix}.norm2", p["norm2"])
+        else:
+            put_norm(f"{prefix}.norm1", p["norm1"])
+            put_norm(f"{prefix}.norm2", p["norm2"])
+        if "conv_shortcut" in p:
+            if "conv" in p["conv_shortcut"]:
+                put_conv3d(f"{prefix}.conv_shortcut.conv", p["conv_shortcut"]["conv"])
+            else:
+                put_conv3d(f"{prefix}.conv_shortcut", p["conv_shortcut"])
+
+    enc = params["encoder"]
+    put_conv3d("encoder.conv_in.conv", enc["conv_in"]["conv"])
+    for i, blk in enumerate(enc["down_blocks"]):
+        for j, r in enumerate(blk["resnets"]):
+            put_resnet(f"encoder.down_blocks.{i}.resnets.{j}", r, spatial=False)
+        if "downsampler" in blk:
+            put_conv2d(f"encoder.down_blocks.{i}.downsamplers.0.conv",
+                       blk["downsampler"]["conv"])
+    for j, r in enumerate(enc["mid_block"]["resnets"]):
+        put_resnet(f"encoder.mid_block.resnets.{j}", r, spatial=False)
+    put_norm("encoder.norm_out", enc["norm_out"])
+    put_conv3d("encoder.conv_out.conv", enc["conv_out"]["conv"])
+
+    dec = params["decoder"]
+    put_conv3d("decoder.conv_in.conv", dec["conv_in"]["conv"])
+    for j, r in enumerate(dec["mid_block"]["resnets"]):
+        put_resnet(f"decoder.mid_block.resnets.{j}", r, spatial=True)
+    for i, blk in enumerate(dec["up_blocks"]):
+        for j, r in enumerate(blk["resnets"]):
+            put_resnet(f"decoder.up_blocks.{i}.resnets.{j}", r, spatial=True)
+        if "upsampler" in blk:
+            put_conv2d(f"decoder.up_blocks.{i}.upsamplers.0.conv",
+                       blk["upsampler"]["conv"])
+    put_spatial("decoder.norm_out", dec["norm_out"])
+    put_conv3d("decoder.conv_out.conv", dec["conv_out"]["conv"])
+    return sd
+
+
+def export_vae_pretrained(params: dict, config_dict: dict, out_dir: str) -> None:
+    """HF save_pretrained-style VAE export (reference-interoperable)."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(out_dir, exist_ok=True)
+    sd = _flatten_vae_to_torch_names(params)
+    save_file({k: np.asarray(v, dtype=np.float32) for k, v in sd.items()},
+              os.path.join(out_dir, "diffusion_pytorch_model.safetensors"))
+    cfg = dict(config_dict)
+    cfg["_class_name"] = "AutoencoderKLCogVideoX"
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=2)
+
+
+def export_transformer_pretrained(params: dict, config_dict: dict,
+                                  out_dir: str) -> None:
+    """HF save_pretrained-style transformer export."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(out_dir, exist_ok=True)
+    sd = _flatten_to_torch_names(params)
+    save_file({k: np.asarray(v, dtype=np.float32) for k, v in sd.items()},
+              os.path.join(out_dir, "diffusion_pytorch_model.safetensors"))
+    cfg = dict(config_dict)
+    cfg["_class_name"] = "CogVideoXTransformer3DModel"
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=2)
