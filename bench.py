@@ -30,14 +30,35 @@ sys.path.insert(0, ".")
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--layers", type=int, default=4,
-                    help="backbone layers to materialize (scaled to 42)")
+    ap.add_argument("--layers", type=int, default=0,
+                    help="backbone layers to materialize (scaled to 42); "
+                         "0 = auto ladder (21 -> 8 -> 4, deepest that fits)")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--tiny", action="store_true", help="smoke mode (CI)")
     ap.add_argument("--skip-vae", action="store_true")
+    ap.add_argument("--fuse-qkv", action="store_true",
+                    help="fold q/k/v projections into one [D,3D] matmul")
     args = ap.parse_args()
 
     import jax
+
+    if args.layers == 0 and not args.tiny:
+        # auto ladder: measure the deepest truncation that fits one chip
+        # (42 layers OOM on 16GB v5e; 21 fits and halves extrapolation error)
+        import subprocess
+
+        for layers in (21, 8, 4):
+            cmd = [sys.executable, __file__, "--layers", str(layers),
+                   "--steps", str(args.steps)] + \
+                  (["--skip-vae"] if args.skip_vae else []) + \
+                  (["--fuse-qkv"] if args.fuse_qkv else [])
+            res = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=1500)
+            lines = [l for l in res.stdout.splitlines() if l.startswith("{")]
+            if res.returncode == 0 and lines:
+                print(lines[-1])
+                return
+        raise SystemExit("all bench ladder sizes failed")
 
     try:  # persistent compile cache: repeat runs skip the slow remote compile
         jax.config.update("jax_compilation_cache_dir",
@@ -71,6 +92,10 @@ def main():
     params["branch"] = branch.init_from_transformer(jax.random.PRNGKey(1),
                                                     params["transformer"], cfg,
                                                     dtype=dtype)
+    if args.fuse_qkv:
+        from videopainter_tpu.ops.attention import fuse_qkv_projections
+
+        params = {k: fuse_qkv_projections(v) for k, v in params.items()}
 
     B = 1
     lat_shape = (B, T_lat, H_lat, W_lat, 16)

@@ -185,3 +185,15 @@ def test_init_from_transformer_matches_reference(env):
                                ref_branch["blocks"]["attn1"]["to_q"]["kernel"], rtol=1e-6, atol=1e-7)
     # zero-init projections
     assert float(jnp.abs(params["branch_blocks"]["kernel"]).max()) == 0.0
+
+
+def test_transformer_fused_qkv_matches(env):
+    """fuse_qkv_projections on the full stacked block tree is output-invariant."""
+    from videopainter_tpu.ops.attention import fuse_qkv_projections
+
+    g, model, params, hidden, text, timestep, rope = env
+    ref = model.apply(params, hidden, text, timestep, rope=rope)
+    out = model.apply(fuse_qkv_projections(params), hidden, text, timestep,
+                      rope=rope)
+    np.testing.assert_allclose(np.asarray(out.sample), np.asarray(ref.sample),
+                               rtol=1e-5, atol=1e-5)

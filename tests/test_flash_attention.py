@@ -62,3 +62,23 @@ class _null:
 
     def __exit__(self, *a):
         return False
+
+
+def test_fused_qkv_matches():
+    """Fused to_qkv must bit-match separate projections."""
+    import jax
+
+    from videopainter_tpu.ops.attention import (fuse_qkv, init_attention,
+                                                joint_attention)
+
+    p = init_attention(jax.random.PRNGKey(0), 32, num_heads=2)
+    p = jax.tree.map(lambda x: x + 0.01, p)  # nonzero biases
+    h = jax.random.normal(jax.random.PRNGKey(1), (1, 24, 32))
+    e = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 32))
+    ref_h, ref_e = joint_attention(p, h, e, num_heads=2)
+    pf = fuse_qkv(p)
+    out_h, out_e = joint_attention(pf, h, e, num_heads=2)
+    np.testing.assert_allclose(np.asarray(out_h), np.asarray(ref_h),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_e), np.asarray(ref_e),
+                               rtol=1e-5, atol=1e-6)

@@ -88,9 +88,15 @@ def joint_attention(
         x = hidden_states
 
     head_dim = x.shape[-1] // num_heads
-    q_flat = linear(p["to_q"], x)
-    k_flat = linear(p["to_k"], x)
-    v_flat = linear(p["to_v"], x)
+    if "to_qkv" in p:
+        # fused projection (FusedCogVideoXAttnProcessor2_0, :2368-2430):
+        # one [D, 3D] matmul fills the MXU better than three [D, D] ones
+        qkv = linear(p["to_qkv"], x)
+        q_flat, k_flat, v_flat = jnp.split(qkv, 3, axis=-1)
+    else:
+        q_flat = linear(p["to_q"], x)
+        k_flat = linear(p["to_k"], x)
+        v_flat = linear(p["to_v"], x)
 
     use_resample = resample_mask is not None or prev_resample_mask is not None
     has_prev = prev_hidden_states is not None and prev_clip_weight is not None
@@ -98,8 +104,12 @@ def joint_attention(
     if use_resample:
         # Reference :2247-2262 — mask multiplies the raw K/V projections.
         if has_prev:
-            pk_flat = linear(p["to_k"], prev_hidden_states)
-            pv_flat = linear(p["to_v"], prev_hidden_states)
+            if "to_qkv" in p:
+                pqkv = linear(p["to_qkv"], prev_hidden_states)
+                _, pk_flat, pv_flat = jnp.split(pqkv, 3, axis=-1)
+            else:
+                pk_flat = linear(p["to_k"], prev_hidden_states)
+                pv_flat = linear(p["to_v"], prev_hidden_states)
             key_mask_flat = pk_flat * prev_resample_mask[..., None].astype(pk_flat.dtype) * prev_clip_weight
             value_mask_flat = pv_flat * prev_resample_mask[..., None].astype(pv_flat.dtype) * prev_clip_weight
         else:
@@ -129,8 +139,14 @@ def joint_attention(
         out = sdpa(q, k, v)
     elif has_prev:
         # base processor dual-attention blend (:2156-2189)
-        pk = _split_heads(linear(p["to_k"], prev_hidden_states), num_heads)
-        pv = _split_heads(linear(p["to_v"], prev_hidden_states), num_heads)
+        if "to_qkv" in p:
+            pqkv = linear(p["to_qkv"], prev_hidden_states)
+            _, pk_flat2, pv_flat2 = jnp.split(pqkv, 3, axis=-1)
+        else:
+            pk_flat2 = linear(p["to_k"], prev_hidden_states)
+            pv_flat2 = linear(p["to_v"], prev_hidden_states)
+        pk = _split_heads(pk_flat2, num_heads)
+        pv = _split_heads(pv_flat2, num_heads)
         if "norm_k" in p and p["norm_k"] is not None:
             pk = layer_norm(p["norm_k"], pk, eps=qk_norm_eps)
         pk = _rope_video_slice(pk, rope, text_len)
@@ -165,3 +181,29 @@ def init_attention(key, dim: int, *, num_heads: int, qk_norm: bool = True,
         p["norm_q"] = init_layer_norm(head_dim, dtype=dtype)
         p["norm_k"] = init_layer_norm(head_dim, dtype=dtype)
     return p
+
+
+def fuse_qkv(attn_params: dict) -> dict:
+    """Fold to_q/to_k/to_v into one to_qkv (fuse_qkv_projections analog,
+    cogvideox_transformer_3d.py:433-456). Works on a single layer or the
+    stacked [L, ...] block tree."""
+    import jax.numpy as jnp
+
+    out = {k: v for k, v in attn_params.items()
+           if k not in ("to_q", "to_k", "to_v")}
+    out["to_qkv"] = {
+        "kernel": jnp.concatenate([attn_params[t]["kernel"]
+                                   for t in ("to_q", "to_k", "to_v")], axis=-1)}
+    if "bias" in attn_params["to_q"]:
+        out["to_qkv"]["bias"] = jnp.concatenate(
+            [attn_params[t]["bias"] for t in ("to_q", "to_k", "to_v")], axis=-1)
+    return out
+
+
+def fuse_qkv_projections(params: dict) -> dict:
+    """Apply fuse_qkv to a transformer/branch param tree's blocks."""
+    params = dict(params)
+    blocks = dict(params["blocks"])
+    blocks["attn1"] = fuse_qkv(blocks["attn1"])
+    params["blocks"] = blocks
+    return params

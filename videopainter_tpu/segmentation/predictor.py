@@ -45,6 +45,12 @@ class SAM2Config:
     sigmoid_scale_for_mem_enc: float = 20.0
     sigmoid_bias_for_mem_enc: float = -10.0
     multimask_output_for_tracking: bool = True
+    multimask_output_in_sam: bool = True
+    multimask_min_pt_num: int = 0
+    multimask_max_pt_num: int = 1
+    pred_obj_scores: bool = True
+    fixed_no_obj_ptr: bool = True
+    add_tpos_enc_to_obj_ptrs: bool = True
     binarize_mask_from_pts_for_mem_enc: bool = True
 
     @property
@@ -188,17 +194,23 @@ class SAM2VideoPredictor:
                 pos_list, ptrs = zip(*pos_and_ptrs)
                 obj_ptrs = jnp.asarray(np.stack(ptrs))  # [P, 1, C]
                 c = obj_ptrs.shape[-1]
-                tpos = get_1d_sine_pe(
-                    jnp.asarray(pos_list, jnp.float32) / max(max_ptrs - 1, 1),
-                    dim=c)
-                if "obj_ptr_tpos_proj" in p:
-                    tpos = mlp(p["obj_ptr_tpos_proj"], tpos)
+                if cfg.add_tpos_enc_to_obj_ptrs:
+                    # sam2_base.py:612-620: sine dim = C only when a projection
+                    # follows (proj_tpos_enc_in_obj_ptrs); mem_dim otherwise
+                    tpos_dim = c if "obj_ptr_tpos_proj" in p else cfg.mem_dim
+                    tpos = get_1d_sine_pe(
+                        jnp.asarray(pos_list, jnp.float32) / max(max_ptrs - 1, 1),
+                        dim=tpos_dim)
+                    if "obj_ptr_tpos_proj" in p:
+                        tpos = mlp(p["obj_ptr_tpos_proj"], tpos)[:, : cfg.mem_dim]
+                else:
+                    tpos = jnp.zeros((len(pos_list), cfg.mem_dim), jnp.float32)
                 # split C-dim pointers into mem_dim tokens (sam2_base.py:627-631)
                 k = c // cfg.mem_dim
                 obj_ptrs = obj_ptrs.reshape(-1, 1, k, cfg.mem_dim)
                 obj_ptrs = obj_ptrs.transpose(0, 2, 1, 3).reshape(-1, 1, cfg.mem_dim)
-                tpos = jnp.repeat(tpos[:, : cfg.mem_dim][:, None], k, axis=0
-                                  ).reshape(-1, 1, cfg.mem_dim)
+                tpos = jnp.repeat(tpos[:, None], k, axis=0).reshape(
+                    -1, 1, cfg.mem_dim)
                 mems.append(np.asarray(obj_ptrs))
                 poss.append(np.asarray(tpos))
                 n_ptr_tokens = obj_ptrs.shape[0]
@@ -255,13 +267,23 @@ class SAM2VideoPredictor:
             p["prompt_encoder"], image_embedding_size=(h, w),
             input_image_size=(cfg.image_size, cfg.image_size),
             points=(pts, lbl))
-        multimask = cfg.multimask_output_for_tracking and points is not None
+        # _use_multimask (sam2_base.py:770-778): no-point tracking frames count
+        # as num_pts=0, which the shipped configs' min_pt_num=0 includes
+        num_pts = 0 if points is None else int(points[1].shape[1])
+        multimask = (cfg.multimask_output_in_sam
+                     and (is_cond or cfg.multimask_output_for_tracking)
+                     and cfg.multimask_min_pt_num <= num_pts
+                     <= cfg.multimask_max_pt_num)
         masks, iou, sam_tokens, obj_logits = mask_decoder(
             p["mask_decoder"], image_embeddings=pix,
             image_pe=get_dense_pe(p["prompt_encoder"], (h, w)),
             sparse_prompt_embeddings=sparse, dense_prompt_embeddings=dense,
             multimask_output=multimask, num_heads=cfg.mask_decoder_heads,
             high_res_features=hi_res)
+        if cfg.pred_obj_scores and obj_logits is not None:
+            # hard obj/no-obj gating of the memory mask (sam2_base.py:353-362)
+            is_obj = obj_logits > 0
+            masks = jnp.where(is_obj[..., None, None], masks, -1024.0)
         if multimask:
             best = int(np.argmax(np.asarray(iou[0])))
             low_res = masks[:, best]
@@ -270,6 +292,12 @@ class SAM2VideoPredictor:
             low_res = masks[:, 0]
             token = sam_tokens[:, 0]
         obj_ptr = mlp(p["obj_ptr_proj"], token) if "obj_ptr_proj" in p else token
+        if cfg.pred_obj_scores and obj_logits is not None and "no_obj_ptr" in p:
+            # occlusion handling of the pointer (sam2_base.py:388-399)
+            lam = (obj_logits > 0).astype(obj_ptr.dtype)
+            if cfg.fixed_no_obj_ptr:
+                obj_ptr = lam * obj_ptr
+            obj_ptr = obj_ptr + (1.0 - lam) * jnp.asarray(p["no_obj_ptr"])
 
         high_res = jax.image.resize(
             low_res, (1, cfg.image_size, cfg.image_size), "bilinear")
