@@ -204,6 +204,10 @@ def data_loader(dataset: VideoInpaintingDataset, collator: InpaintingCollator,
                 seed: int = 0, drop_last: bool = True) -> Iterator[Dict]:
     """Simple epoch iterator (the reference relies on torch DataLoader with a
     single worker, README.md:95 — host decode is not the bottleneck)."""
+    if len(dataset) == 0:
+        raise ValueError(
+            "dataset is empty after filtering - check meta CSV paths, the "
+            "caption-length filter (min_caption_len), and duration bounds")
     rng = np.random.default_rng(seed)
     order = np.arange(len(dataset))
     while True:
