@@ -82,3 +82,24 @@ def test_fused_qkv_matches():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out_e), np.asarray(ref_e),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("s_q,s_k", [(256, 256), (300, 300), (129, 520)])
+def test_flash_gradients_interpret(s_q, s_k):
+    """Pallas backward kernels vs autodiff through exact SDPA (interpret)."""
+    q, k, v = make_qkv(s_q, s_k, d=16)
+
+    def loss_exact(q, k, v):
+        return jnp.sum(sdpa(q, k, v) ** 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, blk_q=128, blk_k=128,
+                                       bwd_blk_k=128) ** 2)
+
+    g_ref = jax.grad(loss_exact, argnums=(0, 1, 2))(q, k, v)
+    with jax.experimental.pallas.tpu.force_tpu_interpret_mode() if hasattr(
+            jax.experimental.pallas, "tpu") else _null():
+        g_out = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_out, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5, err_msg=f"d{name}")

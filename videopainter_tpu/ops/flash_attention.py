@@ -13,8 +13,14 @@ Design (pallas_guide.md):
  - sequence lengths padded to the block size; padded keys masked with -inf
    at compile time (static shapes — no scalar prefetch needed)
 
+`flash_attention` is differentiable: a custom VJP with two Pallas backward
+kernels (dq and dk/dv) that recompute probabilities from the forward's
+logsumexp. Both backward kernels compute scores TRANSPOSED ([blk_k, blk_q],
+queries on lanes) so the per-query lse/delta rows broadcast along sublanes
+for free - no [seq, 128] stat materialization like the bundled jax kernel.
+
 `chunked_attention` is the pure-JAX lax.scan equivalent: same online softmax,
-fully differentiable (training path), remat-friendly, no S^2 memory.
+fully differentiable, remat-friendly, no S^2 memory (CPU-friendly fallback).
 """
 
 from __future__ import annotations
@@ -38,10 +44,15 @@ def _ceil_to(x: int, m: int) -> int:
 # Pallas forward kernel
 # ---------------------------------------------------------------------------
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
-                  scale: float, kv_len: int):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
+                  scale: float, kv_len: int, with_lse: bool = False):
     """Grid (bh, nq, nk): innermost nk streams KV blocks; online-softmax state
     (m, l, acc) lives in VMEM scratch that persists across the nk iterations."""
+    if with_lse:
+        lse_ref, m_ref, l_ref, acc_ref = refs
+    else:
+        m_ref, l_ref, acc_ref = refs
+        lse_ref = None
     j = pl.program_id(2)
     nk = pl.num_programs(2)
     blk_q, d = q_ref.shape
@@ -75,58 +86,226 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
     @pl.when(j == nk - 1)
     def _():
         o_ref[:] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse_ref[:] = m_ref[:] + jnp.log(l_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "kv_len", "blk_q", "blk_k"))
-def _flash_padded(q, k, v, scale, kv_len, blk_q, blk_k):
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "kv_len", "blk_q", "blk_k",
+                                    "with_lse"))
+def _flash_padded(q, k, v, scale, kv_len, blk_q, blk_k, with_lse=False):
     bh, s_q, d = q.shape
     s_k = k.shape[1]
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, kv_len=kv_len),
+    qspec = pl.BlockSpec((None, blk_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((None, blk_k, d), lambda b, i, j: (b, j, 0),
+                          memory_space=pltpu.VMEM)
+    out_shapes = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
+    out_specs = [qspec]
+    if with_lse:
+        # lse broadcast over 128 lanes (the scratch layout) - sliced to
+        # [bh, s_q] right after the call, so the HBM cost is transient
+        out_shapes.append(jax.ShapeDtypeStruct((bh, s_q, 128), jnp.float32))
+        out_specs.append(pl.BlockSpec((None, blk_q, 128),
+                                      lambda b, i, j: (b, i, 0),
+                                      memory_space=pltpu.VMEM))
+    res = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, kv_len=kv_len,
+                          with_lse=with_lse),
         grid=(bh, s_q // blk_q, s_k // blk_k),
-        in_specs=[
-            pl.BlockSpec((None, blk_q, d), lambda b, i, j: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, blk_k, d), lambda b, i, j: (b, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, blk_k, d), lambda b, i, j: (b, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((None, blk_q, d), lambda b, i, j: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        in_specs=[qspec, kvspec, kvspec],
+        out_specs=out_specs if with_lse else out_specs[0],
+        out_shape=out_shapes if with_lse else out_shapes[0],
         scratch_shapes=[
             pltpu.VMEM((blk_q, 128), jnp.float32),   # running max
             pltpu.VMEM((blk_q, 128), jnp.float32),   # running denom
             pltpu.VMEM((blk_q, d), jnp.float32),     # output accumulator
         ],
     )(q, k, v)
-    return out
+    if with_lse:
+        out, lse = res
+        return out, lse[:, :, 0]
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward kernels (transposed-scores design)
+# ---------------------------------------------------------------------------
+#
+# dO . O rowsum `delta` and the forward logsumexp `lse` are [bh, s_q] arrays;
+# both kernels compute scores as s_t = K @ Q^T, i.e. [blk_k, blk_q] with the
+# QUERY index on lanes, so lse/delta blocks ([blk_q] lanes vectors) broadcast
+# along sublanes for free and p = exp(s_t - lse) is already normalized.
+
+def _flash_dq_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dlt_ref, dq_ref,
+                     acc_ref, *, scale: float, kv_len: int):
+    """Grid (bh, nq, nk): stream KV blocks, accumulate dQ for one Q block."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+    blk_k = k_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    s_t = jax.lax.dot_general(k_ref[:], q_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32) * scale
+    row = jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0) + j * blk_k
+    p_t = jnp.where(row < kv_len, jnp.exp(s_t - lse_ref[0:1, :]), 0.0)
+    dp_t = jax.lax.dot_general(v_ref[:], do_ref[:], (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    ds_t = p_t * (dp_t - dlt_ref[0:1, :]) * scale
+    # dq[blk_q, d] += ds_t^T @ k  (contract the kv sublane dim of both)
+    acc_ref[:] += jax.lax.dot_general(
+        ds_t.astype(k_ref.dtype), k_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk - 1)
+    def _():
+        dq_ref[:] = acc_ref[:].astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dlt_ref,
+                      dk_ref, dv_ref, dk_acc, dv_acc, *,
+                      scale: float, kv_len: int):
+    """Grid (bh, nk, nq): stream Q blocks, accumulate dK/dV for one KV block.
+
+    Zero-padded queries contribute nothing: their dO rows are zero (kills dV)
+    and their delta/dp are zero (kills dS, hence dK)."""
+    j = pl.program_id(2)
+    nq = pl.num_programs(2)
+    blk_k = k_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    s_t = jax.lax.dot_general(k_ref[:], q_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32) * scale
+    row = jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0) +         pl.program_id(1) * blk_k
+    p_t = jnp.where(row < kv_len, jnp.exp(s_t - lse_ref[0:1, :]), 0.0)
+    dv_acc[:] += jax.lax.dot_general(
+        p_t.astype(do_ref.dtype), do_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp_t = jax.lax.dot_general(v_ref[:], do_ref[:], (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    ds_t = p_t * (dp_t - dlt_ref[0:1, :]) * scale
+    dk_acc[:] += jax.lax.dot_general(
+        ds_t.astype(q_ref.dtype), q_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nq - 1)
+    def _():
+        dk_ref[:] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[:] = dv_acc[:].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "kv_len", "blk_q", "blk_k"))
+def _flash_bwd_padded(q, k, v, do, lse, delta, scale, kv_len, blk_q, blk_k):
+    bh, sqp, d = q.shape
+    skp = k.shape[1]
+    kvspec = pl.BlockSpec((None, blk_k, d), lambda b, i, j: (b, j, 0),
+                          memory_space=pltpu.VMEM)
+    qspec = pl.BlockSpec((None, blk_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+    # lse/delta arrive as [bh, 8, sqp] (8 redundant sublane copies - mosaic
+    # requires >=2D blocks with (8, 128)-divisible trailing dims); queries
+    # stay on lanes so rows broadcast against the transposed score tiles
+    vecspec = pl.BlockSpec((None, 8, blk_q), lambda b, i, j: (b, 0, i),
+                           memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_flash_dq_kernel, scale=scale, kv_len=kv_len),
+        grid=(bh, sqp // blk_q, skp // blk_k),
+        in_specs=[kvspec, kvspec, qspec, qspec, vecspec, vecspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((blk_q, d), jnp.float32)],
+    )(k, v, q, do, lse, delta)
+
+    kvspec2 = pl.BlockSpec((None, blk_k, d), lambda b, i, j: (b, i, 0),
+                           memory_space=pltpu.VMEM)
+    qspec2 = pl.BlockSpec((None, blk_q, d), lambda b, i, j: (b, j, 0),
+                          memory_space=pltpu.VMEM)
+    vecspec2 = pl.BlockSpec((None, 8, blk_q), lambda b, i, j: (b, 0, j),
+                            memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_dkv_kernel, scale=scale, kv_len=kv_len),
+        grid=(bh, skp // blk_k, sqp // blk_q),
+        in_specs=[kvspec2, kvspec2, qspec2, qspec2, vecspec2, vecspec2],
+        out_specs=[kvspec2, kvspec2],
+        out_shape=[jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)],
+        scratch_shapes=[pltpu.VMEM((blk_k, d), jnp.float32),
+                        pltpu.VMEM((blk_k, d), jnp.float32)],
+    )(k, v, q, do, lse, delta)
+    return dq, dk, dv
+
+
+def _pad_qkv(q, k, v, blk_q, blk_k):
+    b, h, s_q, d = q.shape
+    s_k = k.shape[2]
+    sqp = _ceil_to(s_q, blk_q)
+    skp = _ceil_to(s_k, blk_k)
+    qf = jnp.pad(q, ((0, 0), (0, 0), (0, sqp - s_q), (0, 0))).reshape(b * h, sqp, d)
+    kf = jnp.pad(k, ((0, 0), (0, 0), (0, skp - s_k), (0, 0))).reshape(b * h, skp, d)
+    vf = jnp.pad(v, ((0, 0), (0, 0), (0, skp - s_k), (0, 0))).reshape(b * h, skp, d)
+    return qf, kf, vf
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash(q, k, v, scale, blk_q, blk_k, bwd_blk_k):
+    b, h, s_q, d = q.shape
+    qf, kf, vf = _pad_qkv(q, k, v, blk_q, blk_k)
+    out = _flash_padded(qf, kf, vf, scale, k.shape[2], blk_q, blk_k)
+    return out.reshape(b, h, -1, d)[:, :, :s_q]
+
+
+def _flash_fwd(q, k, v, scale, blk_q, blk_k, bwd_blk_k):
+    b, h, s_q, d = q.shape
+    qf, kf, vf = _pad_qkv(q, k, v, blk_q, blk_k)
+    out, lse = _flash_padded(qf, kf, vf, scale, k.shape[2], blk_q, blk_k,
+                             with_lse=True)
+    return (out.reshape(b, h, -1, d)[:, :, :s_q],
+            (q, k, v, out, lse))
+
+
+def _flash_bwd(scale, blk_q, blk_k, bwd_blk_k, res, g):
+    q, k, v, out_p, lse = res
+    b, h, s_q, d = q.shape
+    s_k = k.shape[2]
+    qf, kf, vf = _pad_qkv(q, k, v, blk_q, bwd_blk_k)
+    sqp = qf.shape[1]
+    dof = jnp.pad(g, ((0, 0), (0, 0), (0, sqp - s_q), (0, 0))
+                  ).reshape(b * h, sqp, d)
+    delta = jnp.sum(dof.astype(jnp.float32) * out_p.astype(jnp.float32),
+                    axis=-1)                                   # [bh, sqp]
+    lse8 = jnp.broadcast_to(lse[:, None, :], (lse.shape[0], 8, lse.shape[1]))
+    dlt8 = jnp.broadcast_to(delta[:, None, :],
+                            (delta.shape[0], 8, delta.shape[1]))
+    dq, dk, dv = _flash_bwd_padded(qf, kf, vf, dof, lse8, dlt8, scale, s_k,
+                                   blk_q, bwd_blk_k)
+    dq = dq.reshape(b, h, sqp, d)[:, :, :s_q]
+    dk = dk.reshape(b, h, -1, d)[:, :, :s_k]
+    dv = dv.reshape(b, h, -1, d)[:, :, :s_k]
+    return dq, dk, dv
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     scale: Optional[float] = None, *, blk_q: int = 512,
-                    blk_k: int = 2048) -> jnp.ndarray:
+                    blk_k: int = 2048, bwd_blk_k: int = 1024) -> jnp.ndarray:
     """Bidirectional flash attention. q, k, v: [B, H, S, D]. Returns [B, H, S, D].
 
     Pads sequence lengths to block multiples; padded keys are masked, padded
-    queries sliced off. Inference forward path — for training use
-    chunked_attention (differentiable).
+    queries sliced off. Differentiable (custom VJP with Pallas backward
+    kernels); `chunked_attention` remains as the pure-JAX fallback.
     """
-    b, h, s_q, d = q.shape
-    s_k = k.shape[2]
     if scale is None:
-        scale = d ** -0.5
-    sqp = _ceil_to(s_q, blk_q)
-    skp = _ceil_to(s_k, blk_k)
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sqp - s_q), (0, 0)))
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, skp - s_k), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, skp - s_k), (0, 0)))
-    qf = qp.reshape(b * h, sqp, d)
-    kf = kp.reshape(b * h, skp, d)
-    vf = vp.reshape(b * h, skp, d)
-    out = _flash_padded(qf, kf, vf, float(scale), s_k, blk_q, blk_k)
-    return out.reshape(b, h, sqp, d)[:, :, :s_q]
+        scale = q.shape[-1] ** -0.5
+    return _flash(q, k, v, float(scale), blk_q, blk_k, bwd_blk_k)
 
 
 # ---------------------------------------------------------------------------

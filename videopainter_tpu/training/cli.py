@@ -58,6 +58,8 @@ def get_args(argv=None):
     p.add_argument("--add_first", action="store_true")
     p.add_argument("--wo_text", action="store_true")
     p.add_argument("--noised_image_dropout", type=float, default=0.05)
+    p.add_argument("--use_flash", action="store_true",
+                   help="Pallas flash attention in the train step (TPU)")
     # optimization
     p.add_argument("--max_train_steps", type=int, default=10000)
     p.add_argument("--learning_rate", type=float, default=1e-5)
@@ -180,6 +182,7 @@ def main(argv=None):
         inpainting_loss_weight=args.inpainting_loss_weight,
         mask_add=args.mask_add, add_first=args.add_first, wo_text=args.wo_text,
         noised_image_dropout=args.noised_image_dropout,
+        use_flash=args.use_flash,
         max_grad_norm=args.max_grad_norm,
         lora_rank=args.rank, lora_alpha=args.lora_alpha)
     trcfg = TrainerConfig(

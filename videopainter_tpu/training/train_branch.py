@@ -49,6 +49,7 @@ class BranchTrainConfig:
     lora_alpha: float = 128.0
     id_pool_resample: bool = True  # LoRA training forwards with resample attn
     remat: bool = True
+    use_flash: bool = False  # Pallas flash attention (differentiable custom VJP)
 
 
 class BranchTrainState(NamedTuple):
@@ -139,12 +140,12 @@ def make_branch_train_step(transformer, branch, vae, scheduler, optimizer,
         def loss_fn(branch_params):
             samples = branch.apply(branch_params, noisy_vid, prompt_embeds,
                                    branch_cond, timesteps, rope=rope,
-                                   remat=cfg.remat)
+                                   remat=cfg.remat, use_flash=cfg.use_flash)
             out = transformer.apply(
                 frozen["transformer"], noisy_model_input, prompt_embeds, timesteps,
                 rope=rope, branch_block_samples=samples,
                 branch_block_masks=mask_lat if cfg.mask_add else None,
-                add_first=cfg.add_first, remat=cfg.remat)
+                add_first=cfg.add_first, remat=cfg.remat, use_flash=cfg.use_flash)
             return _x0_loss(scheduler, out.sample, noisy_vid, timesteps,
                             model_input, mask_lat, cfg.inpainting_loss_weight)
 
@@ -183,7 +184,7 @@ def make_lora_train_step(transformer, branch, vae, scheduler, optimizer,
                              else noisy_vid)
 
         samples = branch.apply(frozen["branch"], noisy_vid, prompt_embeds,
-                               branch_cond, timesteps, rope=rope, remat=cfg.remat)
+                               branch_cond, timesteps, rope=rope, remat=cfg.remat, use_flash=cfg.use_flash)
         samples = jax.lax.stop_gradient(samples)
 
         def loss_fn(lora_params):
@@ -194,7 +195,7 @@ def make_lora_train_step(transformer, branch, vae, scheduler, optimizer,
                 rope=rope, branch_block_samples=samples,
                 branch_block_masks=mask_lat if cfg.mask_add else None,
                 add_first=cfg.add_first,
-                id_pool_resample=cfg.id_pool_resample, remat=cfg.remat)
+                id_pool_resample=cfg.id_pool_resample, remat=cfg.remat, use_flash=cfg.use_flash)
             return _x0_loss(scheduler, out.sample, noisy_vid, timesteps,
                             model_input, mask_lat, cfg.inpainting_loss_weight)
 
