@@ -64,40 +64,56 @@ def init_branch_train_state(trainable_params, optimizer) -> BranchTrainState:
                             opt_state=optimizer.init(trainable_params))
 
 
-def _prepare_latents(vae, vae_params, batch, rng, cfg, scheduler, dropout_rng):
-    """Shared VAE prep: returns (noisy input pieces, x0 target, masks, t, noise)."""
-    video = batch["pixel_values"]          # [B, T, H, W, 3] in [-1, 1]
-    masked_video = batch["conditioning_pixel_values"]
-    masks = batch["masks"]                 # [B, T, H, W] float
-    b, t = video.shape[0], video.shape[1]
-    sf = vae.cfg.scaling_factor
+def _make_prepare(vae, scheduler, cfg):
+    """VAE prep split for single-chip HBM: the three `vae.encode` calls run as
+    their own jitted dispatches (the VAE's conv temps would otherwise live
+    alongside the DiT backward inside one XLA program - 21 GB at flagship
+    dims); the cheap surrounding math is fused into two small jits."""
 
-    k_sig, k_imgn, k_img, k_vid, k_cond, k_noise, k_t, k_drop = jax.random.split(rng, 8)
+    @jax.jit
+    def _sigma_noise(images, k_sig, k_imgn):
+        # sigma-noised first frame (:1775-1782)
+        b = images.shape[0]
+        sigma = jnp.exp(-3.0 + 0.5 * jax.random.normal(k_sig, (b,)))
+        return images + jax.random.normal(k_imgn, images.shape) * \
+            sigma[:, None, None, None, None]
 
-    # sigma-noised first frame (:1775-1782)
-    images = video[:, :1]
-    sigma = jnp.exp(-3.0 + 0.5 * jax.random.normal(k_sig, (b,)))
-    noisy_images = images + jax.random.normal(k_imgn, images.shape) * \
-        sigma[:, None, None, None, None]
-    image_latents = vae.encode(vae_params, noisy_images).sample(k_img) * sf
+    @jax.jit
+    def _post(image_latents, model_input, cond_latents, masks,
+              k_drop, k_noise, k_t):
+        b = model_input.shape[0]
+        t_lat, h_lat, w_lat = model_input.shape[1:4]
+        pad = jnp.zeros((b, t_lat - 1) + model_input.shape[2:],
+                        model_input.dtype)
+        image_latents = jnp.concatenate([image_latents, pad], axis=1)
+        drop = jax.random.uniform(k_drop, ()) < cfg.noised_image_dropout
+        image_latents = jnp.where(drop, jnp.zeros_like(image_latents),
+                                  image_latents)
+        mask_lat = resize_mask_to_latent(masks, t_lat, h_lat, w_lat)
+        branch_cond = jnp.concatenate([cond_latents, mask_lat[..., None]],
+                                      axis=-1)
+        noise = jax.random.normal(k_noise, model_input.shape)
+        timesteps = jax.random.randint(k_t, (b,), 0,
+                                       scheduler.config.num_train_timesteps)
+        noisy = scheduler.add_noise(model_input, noise, timesteps)
+        return noisy, image_latents, branch_cond, mask_lat, timesteps
 
-    model_input = vae.encode(vae_params, video).sample(k_vid) * sf
-    cond_latents = vae.encode(vae_params, masked_video).sample(k_cond) * sf
+    def prepare(vae_params, batch, rng):
+        video = batch["pixel_values"]          # [B, T, H, W, 3] in [-1, 1]
+        sf = vae.cfg.scaling_factor
+        ks = jax.random.split(rng, 8)
+        noisy_images = _sigma_noise(video[:, :1], ks[0], ks[1])
+        image_latents = vae.encode(vae_params, noisy_images).sample(ks[2]) * sf
+        model_input = vae.encode(vae_params, video).sample(ks[3]) * sf
+        cond_latents = vae.encode(
+            vae_params, batch["conditioning_pixel_values"]).sample(ks[4]) * sf
+        noisy, image_latents, branch_cond, mask_lat, timesteps = _post(
+            image_latents, model_input, cond_latents, batch["masks"],
+            ks[5], ks[6], ks[7])
+        return (noisy, image_latents, branch_cond, mask_lat, model_input,
+                timesteps)
 
-    t_lat, h_lat, w_lat = model_input.shape[1:4]
-    pad = jnp.zeros((b, t_lat - 1) + model_input.shape[2:], model_input.dtype)
-    image_latents = jnp.concatenate([image_latents, pad], axis=1)
-    drop = jax.random.uniform(k_drop, ()) < cfg.noised_image_dropout
-    image_latents = jnp.where(drop, jnp.zeros_like(image_latents), image_latents)
-
-    mask_lat = resize_mask_to_latent(masks, t_lat, h_lat, w_lat)
-    branch_cond = jnp.concatenate([cond_latents, mask_lat[..., None]], axis=-1)
-
-    noise = jax.random.normal(k_noise, model_input.shape)
-    timesteps = jax.random.randint(k_t, (b,), 0, scheduler.config.num_train_timesteps)
-    noisy_video_latents = scheduler.add_noise(model_input, noise, timesteps)
-    return (noisy_video_latents, image_latents, branch_cond, mask_lat,
-            model_input, timesteps)
+    return prepare
 
 
 def _x0_loss(scheduler, model_output, noisy_video_latents, timesteps,
@@ -121,18 +137,19 @@ def make_branch_train_step(transformer, branch, vae, scheduler, optimizer,
 
     batch keys: pixel_values, conditioning_pixel_values, masks, prompt_embeds.
     Returns (state, metrics) with loss / inpainting_loss / grad norms.
+
+    The returned step is self-jitting (VAE prep in its own dispatches, the
+    grad+update in one inner jit) - do NOT wrap it in an outer jax.jit on a
+    memory-constrained chip; doing so inlines the VAE into the backward
+    program and overflows HBM at flagship dims (outer jit still works and is
+    fine on CPU/tests or big-memory meshes).
     """
+    prepare = _make_prepare(vae, scheduler, cfg)
 
-    def train_step(state: BranchTrainState, frozen: Dict[str, Any], batch, rng):
-        rng_prep, rng_model = jax.random.split(rng)
-        prep = _prepare_latents(vae, frozen["vae"], batch, rng_prep, cfg, scheduler,
-                                rng_model)
-        (noisy_vid, image_latents, branch_cond, mask_lat, model_input, timesteps) = prep
-
-        t_lat = model_input.shape[1]
-        rope = prepare_rope(transformer.cfg, cfg.height, cfg.width, t_lat,
-                            vae.cfg.spatial_compression_ratio)
-        prompt_embeds = batch["prompt_embeds"]
+    @jax.jit
+    def _grad_step(state, frozen_transformer, noisy_vid, image_latents,
+                   branch_cond, mask_lat, model_input, timesteps,
+                   prompt_embeds, rope):
         noisy_model_input = (jnp.concatenate([noisy_vid, image_latents], axis=-1)
                              if transformer.cfg.in_channels == 2 * noisy_vid.shape[-1]
                              else noisy_vid)
@@ -142,7 +159,7 @@ def make_branch_train_step(transformer, branch, vae, scheduler, optimizer,
                                    branch_cond, timesteps, rope=rope,
                                    remat=cfg.remat, use_flash=cfg.use_flash)
             out = transformer.apply(
-                frozen["transformer"], noisy_model_input, prompt_embeds, timesteps,
+                frozen_transformer, noisy_model_input, prompt_embeds, timesteps,
                 rope=rope, branch_block_samples=samples,
                 branch_block_masks=mask_lat if cfg.mask_add else None,
                 add_first=cfg.add_first, remat=cfg.remat, use_flash=cfg.use_flash)
@@ -160,6 +177,14 @@ def make_branch_train_step(transformer, branch, vae, scheduler, optimizer,
                    "gradient_norm_after_clip": gnorm_after}
         return BranchTrainState(state.step + 1, new_params, opt_state), metrics
 
+    def train_step(state: BranchTrainState, frozen: Dict[str, Any], batch, rng):
+        rng_prep, _ = jax.random.split(rng)
+        prep = prepare(frozen["vae"], batch, rng_prep)
+        rope = prepare_rope(transformer.cfg, cfg.height, cfg.width,
+                            prep[4].shape[1], vae.cfg.spatial_compression_ratio)
+        return _grad_step(state, frozen["transformer"], *prep,
+                          batch["prompt_embeds"], rope)
+
     return train_step
 
 
@@ -168,34 +193,30 @@ def make_lora_train_step(transformer, branch, vae, scheduler, optimizer,
     """ID-resample LoRA: trains rank-r LoRA on backbone to_q/k/v/out; branch +
     backbone base + VAE frozen; forwards with ID-resampling attention
     (reference train_..._resample.py: LoraConfig r=256 alpha=128,
-    id_pool_resample_learnable=True)."""
+    id_pool_resample_learnable=True). Self-jitting like the branch step."""
+    prepare = _make_prepare(vae, scheduler, cfg)
 
-    def train_step(state: BranchTrainState, frozen: Dict[str, Any], batch, rng):
-        rng_prep, rng_model = jax.random.split(rng)
-        prep = _prepare_latents(vae, frozen["vae"], batch, rng_prep, cfg, scheduler,
-                                rng_model)
-        (noisy_vid, image_latents, branch_cond, mask_lat, model_input, timesteps) = prep
-        t_lat = model_input.shape[1]
-        rope = prepare_rope(transformer.cfg, cfg.height, cfg.width, t_lat,
-                            vae.cfg.spatial_compression_ratio)
-        prompt_embeds = batch["prompt_embeds"]
+    @jax.jit
+    def _grad_step(state, frozen_models, noisy_vid, image_latents, branch_cond,
+                   mask_lat, model_input, timesteps, prompt_embeds, rope):
         noisy_model_input = (jnp.concatenate([noisy_vid, image_latents], axis=-1)
                              if transformer.cfg.in_channels == 2 * noisy_vid.shape[-1]
                              else noisy_vid)
-
-        samples = branch.apply(frozen["branch"], noisy_vid, prompt_embeds,
-                               branch_cond, timesteps, rope=rope, remat=cfg.remat, use_flash=cfg.use_flash)
+        samples = branch.apply(frozen_models["branch"], noisy_vid, prompt_embeds,
+                               branch_cond, timesteps, rope=rope,
+                               remat=cfg.remat, use_flash=cfg.use_flash)
         samples = jax.lax.stop_gradient(samples)
 
         def loss_fn(lora_params):
-            merged = merge_lora(frozen["transformer"], lora_params,
+            merged = merge_lora(frozen_models["transformer"], lora_params,
                                 alpha=cfg.lora_alpha, rank=cfg.lora_rank)
             out = transformer.apply(
                 merged, noisy_model_input, prompt_embeds, timesteps,
                 rope=rope, branch_block_samples=samples,
                 branch_block_masks=mask_lat if cfg.mask_add else None,
                 add_first=cfg.add_first,
-                id_pool_resample=cfg.id_pool_resample, remat=cfg.remat, use_flash=cfg.use_flash)
+                id_pool_resample=cfg.id_pool_resample, remat=cfg.remat,
+                use_flash=cfg.use_flash)
             return _x0_loss(scheduler, out.sample, noisy_vid, timesteps,
                             model_input, mask_lat, cfg.inpainting_loss_weight)
 
@@ -206,7 +227,18 @@ def make_lora_train_step(transformer, branch, vae, scheduler, optimizer,
         new_params = optax.apply_updates(state.trainable, updates)
         metrics = {"loss": loss, "inpainting_loss": inp_loss, "total_loss": total,
                    "gradient_norm_before_clip": gnorm_before,
-                   "gradient_norm_after_clip": jnp.minimum(gnorm_before, cfg.max_grad_norm)}
+                   "gradient_norm_after_clip": jnp.minimum(gnorm_before,
+                                                           cfg.max_grad_norm)}
         return BranchTrainState(state.step + 1, new_params, opt_state), metrics
+
+    def train_step(state: BranchTrainState, frozen: Dict[str, Any], batch, rng):
+        rng_prep, _ = jax.random.split(rng)
+        prep = prepare(frozen["vae"], batch, rng_prep)
+        rope = prepare_rope(transformer.cfg, cfg.height, cfg.width,
+                            prep[4].shape[1], vae.cfg.spatial_compression_ratio)
+        frozen_models = {"transformer": frozen["transformer"],
+                         "branch": frozen["branch"]}
+        return _grad_step(state, frozen_models, *prep,
+                          batch["prompt_embeds"], rope)
 
     return train_step

@@ -133,8 +133,9 @@ def train(transformer, branch, vae, scheduler, frozen_params: dict,
 
     make_step = (make_branch_train_step if tcfg.mode == "branch"
                  else make_lora_train_step)
-    step_fn = jax.jit(make_step(transformer, branch, vae, scheduler,
-                                optimizer, bcfg))
+    # NOT wrapped in an outer jit: the step self-jits (VAE prep dispatches +
+    # one grad-step program) so VAE temps never share HBM with the backward
+    step_fn = make_step(transformer, branch, vae, scheduler, optimizer, bcfg)
 
     rng = jax.random.PRNGKey(tcfg.seed)
     t0 = time.time()
