@@ -178,18 +178,22 @@ def generate_video(args, first_frame_inpaint_fn: Optional[Callable] = None,
     else:
         emb_kw = dict(prompt=prompt, negative_prompt=args.negative_prompt)
 
-    out = pipe(params, image=image[None], video=video[None],
-               masks=jnp.asarray(masks_f)[None],
-               num_frames=num_frames, stride=stride,
-               num_inference_steps=args.num_inference_steps,
-               guidance_scale=args.guidance_scale, use_dynamic_cfg=True,
-               replace_gt=args.replace_gt, mask_add=args.mask_add,
-               prev_clip_weight=args.prev_clip_weight,
-               id_pool_resample=bool(args.id_adapter),
-               rng=jax.random.PRNGKey(args.seed),
-               dtype={"bfloat16": jnp.bfloat16,
-                      "float32": jnp.float32}[args.dtype],
-               **emb_kw)
+    from ..utils.profiling import maybe_profile
+
+    with maybe_profile(getattr(args, "profile", False), "inpaint_denoise",
+                       getattr(args, "profile_dir", "/tmp/jax_trace")):
+        out = pipe(params, image=image[None], video=video[None],
+                   masks=jnp.asarray(masks_f)[None],
+                   num_frames=num_frames, stride=stride,
+                   num_inference_steps=args.num_inference_steps,
+                   guidance_scale=args.guidance_scale, use_dynamic_cfg=True,
+                   replace_gt=args.replace_gt, mask_add=args.mask_add,
+                   prev_clip_weight=args.prev_clip_weight,
+                   id_pool_resample=bool(args.id_adapter),
+                   rng=jax.random.PRNGKey(args.seed),
+                   dtype={"bfloat16": jnp.bfloat16,
+                          "float32": jnp.float32}[args.dtype],
+                   **emb_kw)
     out01 = (np.asarray(out)[0] / 2 + 0.5).clip(0, 1)
 
     masked01 = video01[: len(out01)] * (1 - masks_f[: len(out01)][..., None])
@@ -226,6 +230,10 @@ def get_args(argv=None):
     p.add_argument("--long_video", action="store_true")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--profile", action="store_true",
+                   help="jax.profiler trace around the denoise (SURVEY.md §5: "
+                        "the reference has no profiler; Perfetto for free)")
+    p.add_argument("--profile_dir", default="/tmp/jax_trace")
     return p.parse_args(argv)
 
 
