@@ -179,6 +179,7 @@ def main():
             "layers_measured": cfg.num_layers,
             "step_ms_extrapolated_42L": round(full_step_time * 1e3, 1),
             "vae_decode_s": round(decode_time, 2),
+            "vae_decode_fps": round(49.0 / decode_time, 1) if decode_time else None,
             "clip_s": round(clip_time, 1),
             "compile_s": round(compile_time, 1),
         },

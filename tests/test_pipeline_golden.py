@@ -94,6 +94,10 @@ def test_single_clip_end_to_end(stack):
     ref = g["io::single::out"][None]  # [1, F, H, W, C] in [0, 1]
     np.testing.assert_allclose(ours01, ref, rtol=0, atol=2e-3)
     assert np.abs(ours01 - ref).mean() < 2e-4
+    # BASELINE.json quality target: per-frame PSNR >= 35 dB vs the reference
+    mse = np.square(ours01 - ref).mean()
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr >= 35.0, f"PSNR vs torch reference {psnr:.1f} dB < 35"
 
 
 def test_anyl_end_to_end(stack):
@@ -126,3 +130,6 @@ def test_anyl_end_to_end(stack):
     ref = g["io::anyl::out"][None]
     np.testing.assert_allclose(ours01, ref, rtol=0, atol=3e-3)
     assert np.abs(ours01 - ref).mean() < 3e-4
+    mse = np.square(ours01 - ref).mean()
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr >= 35.0, f"PSNR vs torch reference {psnr:.1f} dB < 35"
