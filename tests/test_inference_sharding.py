@@ -55,3 +55,34 @@ def test_tp_sharded_pipeline_matches():
     with mesh:
         out = np.asarray(pipe2(sharded, **call_kw))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_sequence_parallel_constraint():
+    """seq_axis GSPMD sequence parallelism: the compiled program must contain
+    collectives (KV all-gathers) and match the replicated output."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from videopainter_tpu.config import TransformerConfig
+    from videopainter_tpu.models import CogVideoXTransformer3D
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(1, 4, 1),
+                ("data", "seq", "model"))
+    cfg = TransformerConfig.tiny(num_layers=2)
+    m = CogVideoXTransformer3D(cfg)
+    params = m.init(jax.random.PRNGKey(0))
+    hidden = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 8, 8, cfg.in_channels))
+    text = jax.random.normal(jax.random.PRNGKey(2), (1, 3, cfg.text_embed_dim))
+    t = jnp.array([500])
+
+    with mesh:
+        f = jax.jit(lambda p, h, x, tt: m.apply(p, h, x, tt, seq_axis="seq").sample)
+        hlo = f.lower(params, hidden, text, t).compile().as_text()
+        n_coll = sum(hlo.count(op) for op in
+                     ("all-gather", "reduce-scatter", "all-reduce"))
+        assert n_coll > 0, "seq_axis constraint compiled to no collectives"
+        out_sp = f(params, hidden, text, t)
+    out0 = jax.jit(lambda p, h, x, tt: m.apply(p, h, x, tt).sample)(
+        params, hidden, text, t)
+    np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out0),
+                               rtol=1e-5, atol=1e-5)

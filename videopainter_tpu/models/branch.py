@@ -113,6 +113,7 @@ class CogVideoXBranch:
         conditioning_scale: float = 1.0,
         use_flash: bool = False,
         remat: bool = False,
+        seq_axis: Optional[str] = None,
     ) -> jnp.ndarray:
         """Returns stacked branch features [num_layers, B, S_vid, D].
 
@@ -138,6 +139,13 @@ class CogVideoXBranch:
         text_len = encoder_hidden_states.shape[1]
         enc_h = embeds[:, :text_len]
         h = embeds[:, text_len:]
+        if seq_axis is not None:
+            from jax.sharding import PartitionSpec as _P
+            _sp = lambda x: jax.lax.with_sharding_constraint(
+                x, _P(None, seq_axis, None))
+        else:
+            _sp = lambda x: x
+        h = _sp(h)
 
         num_heads = cfg.num_attention_heads
         wo_text = cfg.wo_text
@@ -158,6 +166,7 @@ class CogVideoXBranch:
             if remat:
                 fn = jax.checkpoint(fn)
             h, enc_h = fn(bp, h, enc_h)
+            h = _sp(h)
             return (h, enc_h), h
 
         (_, _), block_samples = jax.lax.scan(scan_body, (h, enc_h), params["blocks"])

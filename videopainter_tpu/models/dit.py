@@ -200,7 +200,14 @@ class CogVideoXTransformer3D:
         return_hidden_states: bool = False,
         use_flash: bool = False,
         remat: bool = False,
+        seq_axis: Optional[str] = None,
     ) -> TransformerOutput:
+        """seq_axis: mesh axis name for GSPMD sequence parallelism - video
+        tokens are sharding-constrained to P(None, seq_axis, None) at the
+        patchify boundary and after every block, so block compute (FFN, AdaLN,
+        projections) distributes over tokens and XLA inserts the KV
+        all-gathers for attention (scaling-book recipe; the reference has no
+        sequence parallelism at all, SURVEY.md section 2f)."""
         cfg = self.cfg
         b, num_frames, height, width, _ = hidden_states.shape
         if jnp.ndim(timestep) == 0:
@@ -224,6 +231,13 @@ class CogVideoXTransformer3D:
         enc_h = embeds[:, :text_len]
         h = embeds[:, text_len:]
         s_vid = h.shape[1]
+        if seq_axis is not None:
+            from jax.sharding import PartitionSpec as _P
+            _sp = lambda x: jax.lax.with_sharding_constraint(
+                x, _P(None, seq_axis, None))
+        else:
+            _sp = lambda x: x
+        h = _sp(h)
 
         # resample-mask over the joint sequence (:534-548)
         resample_mask = None
@@ -283,7 +297,7 @@ class CogVideoXTransformer3D:
                     h = jnp.where(gate_mask, h, injected)
                 else:
                     h = injected
-            return h, enc_h
+            return _sp(h), enc_h
 
         def scan_body(carry, xs):
             h, enc_h = carry

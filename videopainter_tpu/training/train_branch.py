@@ -50,6 +50,7 @@ class BranchTrainConfig:
     id_pool_resample: bool = True  # LoRA training forwards with resample attn
     remat: bool = True
     use_flash: bool = False  # Pallas flash attention (differentiable custom VJP)
+    seq_axis: Optional[str] = None  # mesh axis for GSPMD sequence parallelism
 
 
 class BranchTrainState(NamedTuple):
@@ -157,12 +158,12 @@ def make_branch_train_step(transformer, branch, vae, scheduler, optimizer,
         def loss_fn(branch_params):
             samples = branch.apply(branch_params, noisy_vid, prompt_embeds,
                                    branch_cond, timesteps, rope=rope,
-                                   remat=cfg.remat, use_flash=cfg.use_flash)
+                                   remat=cfg.remat, use_flash=cfg.use_flash, seq_axis=cfg.seq_axis)
             out = transformer.apply(
                 frozen_transformer, noisy_model_input, prompt_embeds, timesteps,
                 rope=rope, branch_block_samples=samples,
                 branch_block_masks=mask_lat if cfg.mask_add else None,
-                add_first=cfg.add_first, remat=cfg.remat, use_flash=cfg.use_flash)
+                add_first=cfg.add_first, remat=cfg.remat, use_flash=cfg.use_flash, seq_axis=cfg.seq_axis)
             return _x0_loss(scheduler, out.sample, noisy_vid, timesteps,
                             model_input, mask_lat, cfg.inpainting_loss_weight)
 
@@ -204,7 +205,7 @@ def make_lora_train_step(transformer, branch, vae, scheduler, optimizer,
                              else noisy_vid)
         samples = branch.apply(frozen_models["branch"], noisy_vid, prompt_embeds,
                                branch_cond, timesteps, rope=rope,
-                               remat=cfg.remat, use_flash=cfg.use_flash)
+                               remat=cfg.remat, use_flash=cfg.use_flash, seq_axis=cfg.seq_axis)
         samples = jax.lax.stop_gradient(samples)
 
         def loss_fn(lora_params):
@@ -216,7 +217,7 @@ def make_lora_train_step(transformer, branch, vae, scheduler, optimizer,
                 branch_block_masks=mask_lat if cfg.mask_add else None,
                 add_first=cfg.add_first,
                 id_pool_resample=cfg.id_pool_resample, remat=cfg.remat,
-                use_flash=cfg.use_flash)
+                use_flash=cfg.use_flash, seq_axis=cfg.seq_axis)
             return _x0_loss(scheduler, out.sample, noisy_vid, timesteps,
                             model_input, mask_lat, cfg.inpainting_loss_weight)
 
