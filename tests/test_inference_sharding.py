@@ -86,3 +86,54 @@ def test_sequence_parallel_constraint():
         params, hidden, text, t)
     np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out0),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_tp_sp_matches_single_device():
+    """Full dual-stream inpaint pipeline under a (data=1, seq=4, model=2) mesh
+    with TP-sharded params + seq_axis sequence parallelism must match the
+    single-device run."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from videopainter_tpu.config import (BranchConfig, SchedulerConfig,
+                                         TransformerConfig, VAEConfig)
+    from videopainter_tpu.models import (AutoencoderKLCogVideoX, CogVideoXBranch,
+                                         CogVideoXTransformer3D)
+    from videopainter_tpu.parallel.inference import shard_inference_params
+    from videopainter_tpu.pipelines import CogVideoXI2VDualInpaintPipeline
+    from videopainter_tpu.schedulers import CogVideoXDDIMScheduler
+
+    cfg = TransformerConfig.tiny(num_attention_heads=4, attention_head_dim=16,
+                                 in_channels=32, out_channels=16, num_layers=2,
+                                 sample_height=8, sample_width=12,
+                                 text_embed_dim=16)
+    bcfg = BranchConfig.from_transformer(cfg, num_layers=2)
+    vcfg = VAEConfig.tiny(latent_channels=16)
+    transformer, branch = CogVideoXTransformer3D(cfg), CogVideoXBranch(bcfg)
+    vae = AutoencoderKLCogVideoX(vcfg)
+    sched = CogVideoXDDIMScheduler(SchedulerConfig(
+        prediction_type="v_prediction", timestep_spacing="trailing"))
+    params = {"transformer": transformer.init(jax.random.PRNGKey(0)),
+              "vae": vae.init(jax.random.PRNGKey(2))}
+    params["branch"] = branch.init_from_transformer(
+        jax.random.PRNGKey(1), params["transformer"], cfg)
+    pipe = CogVideoXI2VDualInpaintPipeline(transformer, branch, vae, sched)
+    rng = np.random.RandomState(0)
+    video = jnp.asarray(rng.rand(1, 9, 64, 96, 3) * 2 - 1, jnp.float32)
+    masks = jnp.asarray((rng.rand(1, 9, 64, 96) > 0.5).astype(np.float32))
+    embeds = jnp.asarray(rng.rand(1, 5, 16), jnp.float32)
+    kw = dict(video=video, masks=masks, image=video[:, 0],
+              prompt_embeds=embeds,
+              negative_prompt_embeds=jnp.zeros_like(embeds),
+              num_inference_steps=2, guidance_scale=6.0, replace_gt=True,
+              mask_add=True, rng=jax.random.PRNGKey(7),
+              vae_sample_mode="mode")
+
+    ref = pipe(params, **kw)
+    mesh = Mesh(np.array(jax.devices()).reshape(1, 4, 2),
+                ("data", "seq", "model"))
+    with mesh:
+        sp = shard_inference_params(params, mesh)
+        out = pipe(sp, **kw, seq_axis="seq")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=2e-4)

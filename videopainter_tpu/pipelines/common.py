@@ -109,6 +109,7 @@ class DenoiseConfig:
     is_dpm: bool
     capture_hidden_states: bool = False   # capture per-layer states at the final step
     use_flash: bool = False
+    seq_axis: Optional[str] = None        # GSPMD sequence-parallel mesh axis
     dpm_sde: bool = True                  # draw SDE noise each DPM step
     # "dual": branch -> backbone injection (flagship);
     # "sft": cond channels concatenated straight into the widened backbone
@@ -197,7 +198,7 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
                 params["branch"], latent_video_input, inputs.prompt_embeds,
                 branch_cond, timestep, rope=rope,
                 conditioning_scale=dcfg.conditioning_scale,
-                use_flash=dcfg.use_flash)
+                use_flash=dcfg.use_flash, seq_axis=dcfg.seq_axis)
             return transformer.apply(
                 params["transformer"], latent_model_input, inputs.prompt_embeds,
                 timestep, rope=rope,
@@ -206,7 +207,7 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
                 add_first=dcfg.add_first,
                 id_pool_resample=dcfg.id_pool_resample,
                 return_hidden_states=capture,
-                use_flash=dcfg.use_flash, **kw)
+                use_flash=dcfg.use_flash, seq_axis=dcfg.seq_axis, **kw)
 
         if dcfg.mode == "sft":
             # widened backbone eats [noisy (‖ image) ‖ masked-video ‖ mask]
@@ -215,7 +216,7 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
             return transformer.apply(
                 params["transformer"], model_in, inputs.prompt_embeds, timestep,
                 rope=rope, return_hidden_states=capture,
-                use_flash=dcfg.use_flash, **kw)
+                use_flash=dcfg.use_flash, seq_axis=dcfg.seq_axis, **kw)
 
         if dcfg.mode == "selfguidance":
             # guidance pass: noised masked-video latents -> per-layer states,
@@ -234,7 +235,7 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
             g = transformer.apply(
                 params["transformer"], noised_masked, inputs.prompt_embeds,
                 timestep, rope=rope, return_hidden_states=True,
-                use_flash=dcfg.use_flash)
+                use_flash=dcfg.use_flash, seq_axis=dcfg.seq_axis)
             text_len = inputs.prompt_embeds.shape[1]
             sg = g.hidden_states_list[:, :, text_len:]
             return transformer.apply(
@@ -243,13 +244,13 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
                 self_guidance_hidden_states=sg,
                 self_guidance_masks=mask,
                 return_hidden_states=capture,
-                use_flash=dcfg.use_flash, **kw)
+                use_flash=dcfg.use_flash, seq_axis=dcfg.seq_axis, **kw)
 
         # "plain" latent-blend baseline: bare backbone
         return transformer.apply(
             params["transformer"], latent_model_input, inputs.prompt_embeds,
             timestep, rope=rope, return_hidden_states=capture,
-            use_flash=dcfg.use_flash, **kw)
+            use_flash=dcfg.use_flash, seq_axis=dcfg.seq_axis, **kw)
 
     def scheduler_and_blend(inputs: DenoiseInputs, latents, old_x0, noise_pred, i, step_key):
         noise_pred = noise_pred.astype(jnp.float32)

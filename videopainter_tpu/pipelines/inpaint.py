@@ -176,9 +176,16 @@ class CogVideoXI2VDualInpaintPipeline:
         init_noise: Optional[jnp.ndarray] = None,
         dpm_noises: Optional[jnp.ndarray] = None,
         output_type: str = "np",
+        use_flash: bool = False,
+        seq_axis: Optional[str] = None,
         dtype=jnp.float32,
     ):
-        """Returns decoded video [B, T, H, W, 3] in [-1, 1] (or latents)."""
+        """Returns decoded video [B, T, H, W, 3] in [-1, 1] (or latents).
+
+        use_flash: Pallas flash attention for the 17,776-token joint sequence.
+        seq_axis: GSPMD sequence-parallel mesh axis name (call under an active
+        `with mesh:`); video tokens shard over it, XLA inserts KV all-gathers.
+        """
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         do_cfg = guidance_scale > 1.0
 
@@ -216,6 +223,7 @@ class CogVideoXI2VDualInpaintPipeline:
             mask_add=mask_add, mask_background=mask_background, add_first=add_first,
             wo_text=wo_text, id_pool_resample=id_pool_resample,
             is_dpm=isinstance(self.scheduler, CogVideoXDPMScheduler),
+            use_flash=use_flash, seq_axis=seq_axis,
             mode=self._mode)
         denoise = self._get_denoise(dcfg, timesteps)
 

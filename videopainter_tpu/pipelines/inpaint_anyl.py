@@ -63,6 +63,8 @@ class CogVideoXI2VDualInpaintAnyLPipeline(CogVideoXI2VDualInpaintPipeline):
         init_noises: Optional[list] = None,       # per-window init noise (parity testing)
         dpm_noises_list: Optional[list] = None,   # per-window [S,...] SDE noise
         output_type: str = "np",
+        use_flash: bool = False,
+        seq_axis: Optional[str] = None,
         dtype=jnp.float32,
     ):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -110,6 +112,7 @@ class CogVideoXI2VDualInpaintAnyLPipeline(CogVideoXI2VDualInpaintPipeline):
             mask_add=mask_add, mask_background=mask_background, add_first=add_first,
             wo_text=wo_text, id_pool_resample=id_pool_resample,
             is_dpm=isinstance(self.scheduler, CogVideoXDPMScheduler),
+            use_flash=use_flash, seq_axis=seq_axis,
             mode=self._mode)
 
         prev_state: Optional[Dict[str, Any]] = None
