@@ -44,7 +44,9 @@ def main():
 
     if args.layers == 0 and not args.tiny:
         # auto ladder: measure the deepest truncation that fits one chip
-        # (42 layers OOM on 16GB v5e; 21 fits and halves extrapolation error)
+        # (30+ layers OOM on 16GB v5e - params + CFG-batched activations +
+        # XLA temp need ~7.5GB beyond params; 21L fits, and per-layer cost is
+        # consistent between 4L and 21L so the 42L extrapolation is sound)
         import subprocess
 
         for layers in (21, 8, 4):
@@ -110,7 +112,10 @@ def main():
 
     use_flash = not args.tiny
 
-    def denoise_step(params, latents, t):
+    def denoise_step(params, latents, masked, image_latents, mask, embeds,
+                     rope, t):
+        # all arrays are jit ARGS, not closures - closed-over arrays embed as
+        # MLIR constants, whose host fetch OOMs when HBM is near-full (42L)
         lvi = jnp.concatenate([latents, latents], axis=0)
         model_in = jnp.concatenate(
             [lvi, jnp.concatenate([image_latents] * 2, axis=0)], axis=-1)
@@ -128,19 +133,21 @@ def main():
         pred = u + 6.0 * (c - u)
         return (latents.astype(jnp.float32) * 0.99 - 0.01 * pred).astype(dtype)
 
-    step = jax.jit(denoise_step)
+    step = jax.jit(denoise_step, donate_argnums=(1,))
     sync = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
 
     t0 = time.time()
-    latents2 = step(params, latents, jnp.asarray(500))
+    latents2 = step(params, latents, masked, image_latents, mask, embeds,
+                    rope, jnp.asarray(500))
     float(sync(latents2))
     compile_time = time.time() - t0
 
     reps = 2 if args.tiny else 3
     t0 = time.time()
-    cur = latents
+    cur = latents2
     for i in range(reps):
-        cur = step(params, cur, jnp.asarray(500 - i))
+        cur = step(params, cur, masked, image_latents, mask, embeds, rope,
+                   jnp.asarray(500 - i))
     float(sync(cur))
     step_time = (time.time() - t0) / reps
     full_step_time = step_time * (full_layers + 2) / (cfg.num_layers + 2)
