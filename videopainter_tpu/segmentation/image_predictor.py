@@ -46,14 +46,19 @@ class SAM2ImagePredictor:
     def predict(self, point_coords: Optional[np.ndarray] = None,
                 point_labels: Optional[np.ndarray] = None,
                 box: Optional[np.ndarray] = None,
-                multimask_output: bool = True):
-        """Coords in original-image pixels. Returns (masks [K, H, W] bool,
-        iou [K], low_res_logits [K, h*4, w*4])."""
+                multimask_output: bool = True,
+                return_logits: bool = False):
+        """Coords in original-image pixels. Returns (masks [K, H, W] bool -
+        or logits when return_logits - iou [K], low_res_logits [K, h*4, w*4])."""
         if self._features is None:
             raise RuntimeError("call set_image first")
         cfg = self.cfg
         p = self.params
         top = self._features["backbone_fpn"][-1]
+        if cfg.directly_add_no_mem_embed and "no_mem_embed" in p:
+            # sam2_image_predictor.py:100-101: the no-memory embedding is
+            # added to the top-level feature exactly as in video training
+            top = top + jnp.asarray(p["no_mem_embed"]).reshape(1, 1, 1, -1)
         h, w = top.shape[1:3]
         sy = cfg.image_size / self._orig_hw[0]
         sx = cfg.image_size / self._orig_hw[1]
@@ -63,10 +68,18 @@ class SAM2ImagePredictor:
             pts = jnp.asarray(point_coords, jnp.float32)[None] * \
                 jnp.asarray([sx, sy])
             lbl = jnp.asarray(point_labels, jnp.int32)[None]
-        boxes = None
         if box is not None:
-            boxes = jnp.asarray(box, jnp.float32).reshape(1, 4) * \
-                jnp.asarray([sx, sy, sx, sy])
+            # reference merges boxes into the point stream as corner points
+            # with labels [2, 3], prepended (sam2_image_predictor.py:303-316),
+            # and still passes boxes=None so the encoder pads
+            bc = (jnp.asarray(box, jnp.float32).reshape(1, 2, 2) *
+                  jnp.asarray([sx, sy]))
+            bl = jnp.asarray([[2, 3]], jnp.int32)
+            if pts is not None:
+                pts = jnp.concatenate([bc, pts], axis=1)
+                lbl = jnp.concatenate([bl, lbl], axis=1)
+            else:
+                pts, lbl = bc, bl
 
         hi_res = None
         if "conv_s0" in p["mask_decoder"] and len(self._features["backbone_fpn"]) >= 3:
@@ -78,17 +91,19 @@ class SAM2ImagePredictor:
         sparse, dense = prompt_encoder(
             p["prompt_encoder"], image_embedding_size=(h, w),
             input_image_size=(cfg.image_size, cfg.image_size),
-            points=(pts, lbl) if pts is not None else None, boxes=boxes)
+            points=(pts, lbl) if pts is not None else None)
         masks, iou, _, _ = mask_decoder(
             p["mask_decoder"], image_embeddings=top,
             image_pe=get_dense_pe(p["prompt_encoder"], (h, w)),
             sparse_prompt_embeddings=sparse, dense_prompt_embeddings=dense,
             multimask_output=multimask_output, num_heads=cfg.mask_decoder_heads,
-            high_res_features=hi_res)
+            high_res_features=hi_res,
+            iou_prediction_use_sigmoid=cfg.iou_prediction_use_sigmoid)
         low_res = np.asarray(masks[0])
         full = jax.image.resize(masks[0], (masks.shape[1], *self._orig_hw),
                                 "bilinear")
-        return np.asarray(full) > 0, np.asarray(iou[0]), low_res
+        full = np.asarray(full)
+        return (full if return_logits else full > 0), np.asarray(iou[0]), low_res
 
 
 # ---------------------------------------------------------------------------

@@ -45,6 +45,7 @@ class SAM2Config:
     sigmoid_scale_for_mem_enc: float = 20.0
     sigmoid_bias_for_mem_enc: float = -10.0
     multimask_output_for_tracking: bool = True
+    iou_prediction_use_sigmoid: bool = True
     multimask_output_in_sam: bool = True
     multimask_min_pt_num: int = 0
     multimask_max_pt_num: int = 1
@@ -279,7 +280,8 @@ class SAM2VideoPredictor:
             image_pe=get_dense_pe(p["prompt_encoder"], (h, w)),
             sparse_prompt_embeddings=sparse, dense_prompt_embeddings=dense,
             multimask_output=multimask, num_heads=cfg.mask_decoder_heads,
-            high_res_features=hi_res)
+            high_res_features=hi_res,
+            iou_prediction_use_sigmoid=cfg.iou_prediction_use_sigmoid)
         if cfg.pred_obj_scores and obj_logits is not None:
             # hard obj/no-obj gating of the memory mask (sam2_base.py:353-362)
             is_obj = obj_logits > 0

@@ -173,7 +173,8 @@ def mask_decoder(p: dict, *, image_embeddings: jnp.ndarray,  # [B, h, w, C]
                  high_res_features: Optional[List[jnp.ndarray]] = None,
                  dynamic_multimask_via_stability: bool = False,
                  stability_delta: float = 0.05,
-                 stability_thresh: float = 0.98):
+                 stability_thresh: float = 0.98,
+                 iou_prediction_use_sigmoid: bool = False):
     """Reference MaskDecoder.forward/predict_masks (:110-260). Returns
     (masks [B, k, 4h, 4w], iou [B, k], sam_tokens [B, t, C], obj_logits)."""
     b, h, w, c = image_embeddings.shape
@@ -216,6 +217,9 @@ def mask_decoder(p: dict, *, image_embeddings: jnp.ndarray,  # [B, h, w, C]
     masks = jnp.einsum("bkc,bhwc->bkhw", hyper, x)
 
     iou_pred = mlp(p["iou_head"], iou_token_out)
+    if iou_prediction_use_sigmoid:
+        # mask_decoder.py:90-97: restrict iou predictions to [0, 1]
+        iou_pred = jax.nn.sigmoid(iou_pred)
     if pred_obj:
         obj_logits = mlp(p["pred_obj_score_head"], hs[:, 0])
     else:
