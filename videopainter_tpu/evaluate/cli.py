@@ -25,7 +25,10 @@ import os
 def get_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model_path", required=True)
-    p.add_argument("--inpainting_branch", required=True)
+    p.add_argument("--inpainting_branch", default=None,
+                   help="branch dir; omit with --wo_branch")
+    p.add_argument("--wo_branch", action="store_true",
+                   help="backbone-only SFT eval (eval_inpainting_wo_branch.py)")
     p.add_argument("--id_adapter_resample_learnable_path", default=None)
     p.add_argument("--dataset", choices=["davis", "vpbench"], default="davis")
     p.add_argument("--video_root", default="")
@@ -60,8 +63,10 @@ def main(argv=None):
     from .datasets import DavisTestDataset, VPBenchDataset
     from .harness import EvalConfig, run_inpainting_eval
 
+    if not args.wo_branch and not args.inpainting_branch:
+        raise SystemExit("--inpainting_branch required unless --wo_branch")
     pipe, params = build_pipeline(
-        args.model_path, args.inpainting_branch,
+        args.model_path, None if args.wo_branch else args.inpainting_branch,
         id_adapter=args.id_adapter_resample_learnable_path,
         dtype_str=args.dtype)
 

@@ -28,10 +28,13 @@ from typing import Callable, Optional
 import numpy as np
 
 
-def build_pipeline(model_path: str, inpainting_branch: str,
+def build_pipeline(model_path: str, inpainting_branch: Optional[str],
                    id_adapter: Optional[str] = None,
                    dtype_str: str = "bfloat16", long_video: bool = False):
-    """Load converted weights and assemble the flagship AnyL pipeline."""
+    """Load converted weights and assemble the flagship AnyL pipeline.
+
+    inpainting_branch=None builds the backbone-only (SFT) any-length
+    pipeline (reference evaluate/eval_inpainting_wo_branch.py:147)."""
     import jax.numpy as jnp
 
     from ..config import (BranchConfig, SchedulerConfig, TransformerConfig,
@@ -54,7 +57,8 @@ def build_pipeline(model_path: str, inpainting_branch: str,
         tcfg = TransformerConfig.from_dict(
             {**tcfg.to_dict(), "id_pool_resample_learnable": True})
     vcfg = load_config(os.path.join(model_path, "vae", "config.json"), VAEConfig)
-    bcfg = load_config(os.path.join(inpainting_branch, "config.json"), BranchConfig)
+    bcfg = (load_config(os.path.join(inpainting_branch, "config.json"),
+                        BranchConfig) if inpainting_branch else None)
 
     import jax
 
@@ -64,17 +68,23 @@ def build_pipeline(model_path: str, inpainting_branch: str,
             load_safetensors_dir(os.path.join(model_path, "transformer")))),
         "vae": cast(convert_vae_state_dict(
             load_safetensors_dir(os.path.join(model_path, "vae")))),
-        "branch": cast(convert_branch_state_dict(
-            load_safetensors_dir(inpainting_branch))),
     }
+    if inpainting_branch:
+        params["branch"] = cast(convert_branch_state_dict(
+            load_safetensors_dir(inpainting_branch)))
     if id_adapter:
         lora_sd = load_safetensors_dir(id_adapter)
         lora = convert_peft_lora_state_dict(lora_sd, tcfg.num_layers, rank=256)
         params["transformer"] = merge_lora(params["transformer"], cast(lora),
                                            alpha=128.0, rank=256)
 
-    transformer = CogVideoXTransformer3D(tcfg)
-    branch = CogVideoXBranch(bcfg)
+    # derive patch-in width from the checkpoint itself: SFT inpaint
+    # checkpoints carry a widened patch embed (2*C+1 channels,
+    # cogvideox_transformer_3d_inpainting.py:253-268)
+    kern_rows = params["transformer"]["patch_embed"]["proj"]["kernel"].shape[0]
+    patch_in = kern_rows // (tcfg.patch_size * tcfg.patch_size)
+    transformer = CogVideoXTransformer3D(tcfg, patch_in_channels=patch_in)
+    branch = CogVideoXBranch(bcfg) if bcfg is not None else None
     vae = AutoencoderKLCogVideoX(vcfg)
     if long_video:
         vae.enable_slicing()
@@ -89,7 +99,13 @@ def build_pipeline(model_path: str, inpainting_branch: str,
         except Exception as e:  # pragma: no cover
             print(f"[warn] text encoder unavailable ({e}); pass --prompt_embeds")
 
-    pipe = CogVideoXI2VDualInpaintAnyLPipeline(transformer, branch, vae, sched,
+    if inpainting_branch:
+        pipe = CogVideoXI2VDualInpaintAnyLPipeline(transformer, branch, vae,
+                                                   sched, text_encoder)
+    else:
+        from ..pipelines import CogVideoXI2VInpaintAnyLPipeline
+
+        pipe = CogVideoXI2VInpaintAnyLPipeline(transformer, vae, sched,
                                                text_encoder)
     return pipe, params
 
