@@ -125,7 +125,25 @@ def opt_state_specs(opt_state, params: dict, param_specs: dict):
     return jax.tree_util.tree_map_with_path(spec_for, opt_state)
 
 
+def fit_spec(x, spec: P, mesh: Mesh) -> P:
+    """Drop spec axes whose mesh size doesn't divide the array dim (e.g. a
+    2-layer stacked leaf on a data=4 mesh stays replicated on that dim)."""
+    parts = list(spec) + [None] * (x.ndim - len(spec))
+    out = []
+    for dim, axis in zip(x.shape, parts):
+        if axis is None:
+            out.append(None)
+            continue
+        names = axis if isinstance(axis, tuple) else (axis,)
+        size = 1
+        for n in names:
+            size *= mesh.shape[n]
+        out.append(axis if size > 0 and dim % size == 0 else None)
+    return P(*out)
+
+
 def shard_params(params: dict, specs: dict, mesh: Mesh) -> dict:
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        lambda x, s: jax.device_put(
+            x, NamedSharding(mesh, fit_spec(x, s, mesh))),
         params, specs, is_leaf=lambda x: not isinstance(x, (dict, list)))
