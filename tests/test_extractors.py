@@ -57,3 +57,16 @@ def test_i3d_bn_folding():
     fa = i3d_extract_features(params_a, video)
     fb = i3d_extract_features(params_b, video)
     assert np.abs(fa - fb).max() > 0
+
+
+def test_i3d_matches_reference_port(goldens):
+    """JAX I3D vs the reference's bundled torch InceptionI3d
+    (evaluate/metrics.py:360-598): same random weights, same video ->
+    pre-logits features must match (BN folding included)."""
+    g = goldens("i3d")
+    sd = {k[len("sd::"):]: g[k] for k in g.files if k.startswith("sd::")}
+    params = convert_i3d_state_dict(sd)
+    video = np.transpose(g["video"], (0, 2, 3, 4, 1))  # BCTHW -> BTHWC
+    feats = i3d_extract_features(params, video)
+    np.testing.assert_allclose(np.asarray(feats), g["features"],
+                               rtol=1e-3, atol=1e-3)
