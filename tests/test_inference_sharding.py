@@ -137,3 +137,30 @@ def test_pipeline_tp_sp_matches_single_device():
         out = pipe(sp, **kw, seq_axis="seq")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=2e-4)
+
+
+def test_transformer_ring_attention_matches():
+    """Full DiT with shard_map ring attention (ring_mesh + seq_axis) must
+    match the dense single-device forward."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from videopainter_tpu.config import TransformerConfig
+    from videopainter_tpu.models import CogVideoXTransformer3D
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(1, 4, 1),
+                ("data", "seq", "model"))
+    cfg = TransformerConfig.tiny(num_layers=2)
+    m = CogVideoXTransformer3D(cfg)
+    params = m.init(jax.random.PRNGKey(0))
+    hidden = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 8, 16, cfg.in_channels))
+    text = jax.random.normal(jax.random.PRNGKey(2), (1, 3, cfg.text_embed_dim))
+    t = jnp.array([500])
+
+    ref = m.apply(params, hidden, text, t).sample
+    with mesh:
+        out = jax.jit(lambda p, h, x, tt: m.apply(
+            p, h, x, tt, seq_axis="seq", ring_mesh=mesh).sample)(
+            params, hidden, text, t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -38,3 +38,31 @@ def test_ring_under_jit():
         f = jax.jit(lambda q, k, v: ring_attention(q, k, v, mesh))
         out = f(q, k, v)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_ring_joint_attention_matches_sdpa():
+    """Joint [text||video] ring attention vs dense joint SDPA."""
+    from jax.sharding import Mesh
+
+    from videopainter_tpu.ops.attention import sdpa
+    from videopainter_tpu.parallel.ring_attention import ring_joint_attention
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(1, 4, 1),
+                ("data", "seq", "model"))
+    B, H, St, Sv, D = 1, 2, 5, 64, 16
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    qt, kt, vt = (jax.random.normal(k, (B, H, St, D)) for k in ks[:3])
+    qv, kv, vv = (jax.random.normal(k, (B, H, Sv, D)) for k in ks[3:])
+
+    q = jnp.concatenate([qt, qv], axis=2)
+    k = jnp.concatenate([kt, kv], axis=2)
+    v = jnp.concatenate([vt, vv], axis=2)
+    ref = sdpa(q, k, v)
+
+    with mesh:
+        out_t, out_v = jax.jit(lambda *a: ring_joint_attention(*a, mesh=mesh))(
+            qt, qv, kt, kv, vt, vv)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref[:, :, :St]),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_v), np.asarray(ref[:, :, St:]),
+                               rtol=2e-5, atol=2e-5)

@@ -114,6 +114,7 @@ class CogVideoXBranch:
         use_flash: bool = False,
         remat: bool = False,
         seq_axis: Optional[str] = None,
+        ring_mesh=None,
     ) -> jnp.ndarray:
         """Returns stacked branch features [num_layers, B, S_vid, D].
 
@@ -153,6 +154,9 @@ class CogVideoXBranch:
         def scan_body(carry, bp):
             h, enc_h = carry
 
+            ring_kw = dict(ring_axis=seq_axis if ring_mesh is not None else None,
+                           ring_mesh=ring_mesh)
+
             def fn(bp, h, enc_h):
                 if wo_text:
                     h2, _ = dit_block(bp, h, None, emb, rope,
@@ -161,7 +165,7 @@ class CogVideoXBranch:
                     return h2, enc_h
                 return dit_block(bp, h, enc_h, emb, rope,
                                  num_heads=num_heads, norm_eps=cfg.norm_eps,
-                                 use_flash=use_flash)
+                                 use_flash=use_flash, **ring_kw)
 
             if remat:
                 fn = jax.checkpoint(fn)

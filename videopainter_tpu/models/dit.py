@@ -57,6 +57,8 @@ def dit_block(
     prev_clip_weight: Optional[Any] = None,
     prev_resample_mask: Optional[jnp.ndarray] = None,
     use_flash: bool = False,
+    ring_axis: Optional[str] = None,
+    ring_mesh=None,
 ):
     """One CogVideoXBlock (cogvideox_transformer_3d.py:125-216).
 
@@ -84,7 +86,7 @@ def dit_block(
         prev_hidden_states=norm_prev,
         prev_clip_weight=prev_clip_weight,
         prev_resample_mask=prev_resample_mask,
-        use_flash=use_flash,
+        use_flash=use_flash, ring_axis=ring_axis, ring_mesh=ring_mesh,
     )
 
     hidden_states = hidden_states + gate_msa * attn_h
@@ -201,13 +203,17 @@ class CogVideoXTransformer3D:
         use_flash: bool = False,
         remat: bool = False,
         seq_axis: Optional[str] = None,
+        ring_mesh=None,
     ) -> TransformerOutput:
         """seq_axis: mesh axis name for GSPMD sequence parallelism - video
         tokens are sharding-constrained to P(None, seq_axis, None) at the
         patchify boundary and after every block, so block compute (FFN, AdaLN,
         projections) distributes over tokens and XLA inserts the KV
         all-gathers for attention (scaling-book recipe; the reference has no
-        sequence parallelism at all, SURVEY.md section 2f)."""
+        sequence parallelism at all, SURVEY.md section 2f).
+        ring_mesh: additionally route attention through shard_map ring
+        attention (video KV rotates over ICI via ppermute, text folded in
+        once) - zero KV all-gather memory; requires seq_axis."""
         cfg = self.cfg
         b, num_frames, height, width, _ = hidden_states.shape
         if jnp.ndim(timestep) == 0:
@@ -285,6 +291,8 @@ class CogVideoXTransformer3D:
                 prev_clip_weight=prev_clip_weight,
                 prev_resample_mask=prev_rs,
                 use_flash=use_flash,
+                ring_axis=seq_axis if ring_mesh is not None else None,
+                ring_mesh=ring_mesh,
             )
             if self_guidance_hidden_states is not None:
                 sg = self_guidance_hidden_states[layer_idx]

@@ -71,6 +71,8 @@ def joint_attention(
     prev_clip_weight: Optional[float] = None,
     prev_resample_mask: Optional[jnp.ndarray] = None,   # bool [B, S_joint]
     use_flash: bool = False,
+    ring_axis: Optional[str] = None,
+    ring_mesh=None,
     qk_norm_eps: float = 1e-6,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Returns (attn_hidden_states, attn_encoder_hidden_states).
@@ -152,6 +154,17 @@ def joint_attention(
         pk = _rope_video_slice(pk, rope, text_len)
         w = prev_clip_weight
         out = sdpa(q, k, v) * (1.0 - w) + sdpa(q, pk, pv) * w
+    elif ring_axis is not None and ring_mesh is not None and text_len > 0:
+        # sequence-parallel ring attention over ICI: video KV shards rotate,
+        # text KV folded in once (parallel/ring_attention.py)
+        from ..parallel.ring_attention import ring_joint_attention
+
+        out_t, out_v = ring_joint_attention(
+            q[:, :, :text_len], q[:, :, text_len:],
+            k[:, :, :text_len], k[:, :, text_len:],
+            v[:, :, :text_len], v[:, :, text_len:],
+            ring_mesh, axis=ring_axis)
+        out = jnp.concatenate([out_t, out_v], axis=2)
     else:
         if use_flash:
             from .flash_attention import flash_attention

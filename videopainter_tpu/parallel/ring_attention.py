@@ -28,18 +28,50 @@ from ..ops.flash_attention import NEG_INF, chunked_attention, flash_attention
 from .mesh import AXES
 
 
-def _local_attention_stats(q, k, v, scale, use_flash: bool):
-    """Per-shard attention WITH running stats returned: (out_unnormalized? ->
-    we return (m, l, acc)) so shards can be combined across the ring."""
-    # compute scores blockwise via chunked online softmax, returning stats
+def _local_attention_stats(q, k, v, scale, use_flash: bool = False,
+                           chunk: int = 2048):
+    """Per-shard attention with running stats (m, l, acc) returned so shards
+    can be combined across the ring. Chunked over keys: the local [S/n, S/n]
+    block is itself streamed so no full score matrix materializes."""
     b, h, s_q, d = q.shape
-    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32) * scale,
-                   k.astype(jnp.float32), preferred_element_type=jnp.float32)
-    m = jnp.max(s, axis=-1)
-    p = jnp.exp(s - m[..., None])
-    l = jnp.sum(p, axis=-1)
-    acc = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
+    s_k = k.shape[2]
+    qs = q.astype(jnp.float32) * scale
+    if s_k <= chunk:
+        s = jnp.einsum("bhqd,bhkd->bhqk", qs, k.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1)
+        p = jnp.exp(s - m[..., None])
+        return m, jnp.sum(p, axis=-1), jnp.einsum(
+            "bhqk,bhkd->bhqd", p, v.astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+    pad = (-s_k) % chunk
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    nk = kp.shape[2] // chunk
+    kc = kp.reshape(b, h, nk, chunk, d).transpose(2, 0, 1, 3, 4)
+    vc = vp.reshape(b, h, nk, chunk, d).transpose(2, 0, 1, 3, 4)
+    col = jnp.arange(chunk)
+
+    def body(carry, xs):
+        m_prev, l_prev, acc = carry
+        kb, vb, idx = xs
+        s = jnp.einsum("bhqd,bhkd->bhqk", qs, kb.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        s = jnp.where((col + idx * chunk)[None, None, None, :] < s_k, s, NEG_INF)
+        m_cur = jnp.max(s, axis=-1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new[..., None])
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1)
+        acc = acc * alpha[..., None] + jnp.einsum(
+            "bhqk,bhkd->bhqd", p, vb.astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+        return (m_new, l_new, acc), ()
+
+    zero = jnp.zeros(q.shape[:3], jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(
+        body, (zero + NEG_INF, zero, jnp.zeros_like(q, jnp.float32)),
+        (kc, vc, jnp.arange(nk)))
     return m, l, acc
 
 
@@ -85,3 +117,60 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=(spec, spec, spec),
                        out_specs=spec)
     return fn(q, k, v)
+
+
+def _merge_stats(m_a, l_a, acc_a, m_b, l_b, acc_b):
+    m_new = jnp.maximum(m_a, m_b)
+    a = jnp.exp(m_a - m_new)
+    b = jnp.exp(m_b - m_new)
+    return (m_new, l_a * a + l_b * b,
+            acc_a * a[..., None] + acc_b * b[..., None])
+
+
+def ring_joint_attention(q_text, q_vid, k_text, k_vid, v_text, v_vid,
+                         mesh: Mesh, *, axis: str = AXES.seq,
+                         scale: Optional[float] = None):
+    """Joint [text ‖ video] ring attention (the flagship DiT layout).
+
+    Video K/V shards rotate around the ICI ring; the replicated text K/V is
+    folded in exactly once per query as the INITIAL online-softmax block.
+    Text queries ride along on every device (226 tokens - cheap) and their
+    output is pmean'd so it leaves the shard_map replicated.
+
+    q/k/v_text: [B, H, S_text, D] replicated; q/k/v_vid: [B, H, S_vid, D]
+    sharded over S on `axis`. Returns (out_text replicated, out_vid sharded).
+    """
+    d = q_vid.shape[-1]
+    scale_ = d ** -0.5 if scale is None else scale
+    n = mesh.shape[axis]
+    s_text = q_text.shape[2]
+
+    def shard_fn(q_text, q_vid, k_text, k_vid, v_text, v_vid):
+        q = jnp.concatenate([q_text, q_vid], axis=2)
+        # text block first: counted exactly once per query (it never rotates)
+        m0, l0, acc0 = _local_attention_stats(q, k_text, v_text, scale_)
+
+        def step(carry, _):
+            m_p, l_p, acc_p, k_rot, v_rot = carry
+            m_c, l_c, acc_c = _local_attention_stats(q, k_rot, v_rot, scale_)
+            m, l, acc = _merge_stats(m_p, l_p, acc_p, m_c, l_c, acc_c)
+            perm = [(j, (j + 1) % n) for j in range(n)]
+            return (m, l, acc,
+                    jax.lax.ppermute(k_rot, axis, perm),
+                    jax.lax.ppermute(v_rot, axis, perm)), ()
+
+        # make the init stats carry the varying `axis` tag (they will vary
+        # once merged with the rotating shards)
+        m0 = m0 + jnp.zeros_like(q_vid[..., :1, 0])
+        (m, l, acc, _, _), _ = jax.lax.scan(
+            step, (m0, l0, acc0, k_vid, v_vid), None, length=n)
+        out = (acc / l[..., None]).astype(q_vid.dtype)
+        out_text = jax.lax.pmean(out[:, :, :s_text], axis)
+        return out_text, out[:, :, s_text:]
+
+    rep = P(None, None, None, None)
+    spec = P(None, None, axis, None)
+    fn = jax.shard_map(shard_fn, mesh=mesh,
+                       in_specs=(rep, spec, rep, spec, rep, spec),
+                       out_specs=(rep, spec))
+    return fn(q_text, q_vid, k_text, k_vid, v_text, v_vid)
