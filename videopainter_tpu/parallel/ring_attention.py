@@ -168,8 +168,12 @@ def ring_joint_attention(q_text, q_vid, k_text, k_vid, v_text, v_vid,
         out_text = jax.lax.pmean(out[:, :, :s_text], axis)
         return out_text, out[:, :, s_text:]
 
-    rep = P(None, None, None, None)
-    spec = P(None, None, axis, None)
+    # shard heads over the model axis too (when the mesh has one) so a
+    # TP-sharded [B, H, S, D] input doesn't get all-gathered at the
+    # shard_map boundary
+    h_ax = AXES.model if AXES.model in mesh.shape else None
+    rep = P(None, h_ax, None, None)
+    spec = P(None, h_ax, axis, None)
     fn = jax.shard_map(shard_fn, mesh=mesh,
                        in_specs=(rep, spec, rep, spec, rep, spec),
                        out_specs=(rep, spec))

@@ -110,6 +110,7 @@ class DenoiseConfig:
     capture_hidden_states: bool = False   # capture per-layer states at the final step
     use_flash: bool = False
     seq_axis: Optional[str] = None        # GSPMD sequence-parallel mesh axis
+    ring_mesh: Any = None                 # Mesh: ring attention over seq_axis
     dpm_sde: bool = True                  # draw SDE noise each DPM step
     # "dual": branch -> backbone injection (flagship);
     # "sft": cond channels concatenated straight into the widened backbone
@@ -198,7 +199,8 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
                 params["branch"], latent_video_input, inputs.prompt_embeds,
                 branch_cond, timestep, rope=rope,
                 conditioning_scale=dcfg.conditioning_scale,
-                use_flash=dcfg.use_flash, seq_axis=dcfg.seq_axis)
+                use_flash=dcfg.use_flash, seq_axis=dcfg.seq_axis,
+                ring_mesh=dcfg.ring_mesh)
             return transformer.apply(
                 params["transformer"], latent_model_input, inputs.prompt_embeds,
                 timestep, rope=rope,
@@ -207,7 +209,8 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
                 add_first=dcfg.add_first,
                 id_pool_resample=dcfg.id_pool_resample,
                 return_hidden_states=capture,
-                use_flash=dcfg.use_flash, seq_axis=dcfg.seq_axis, **kw)
+                use_flash=dcfg.use_flash, seq_axis=dcfg.seq_axis,
+                ring_mesh=dcfg.ring_mesh, **kw)
 
         if dcfg.mode == "sft":
             # widened backbone eats [noisy (‖ image) ‖ masked-video ‖ mask]
@@ -216,7 +219,8 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
             return transformer.apply(
                 params["transformer"], model_in, inputs.prompt_embeds, timestep,
                 rope=rope, return_hidden_states=capture,
-                use_flash=dcfg.use_flash, seq_axis=dcfg.seq_axis, **kw)
+                use_flash=dcfg.use_flash, seq_axis=dcfg.seq_axis,
+                ring_mesh=dcfg.ring_mesh, **kw)
 
         if dcfg.mode == "selfguidance":
             # guidance pass: noised masked-video latents -> per-layer states,
@@ -235,7 +239,8 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
             g = transformer.apply(
                 params["transformer"], noised_masked, inputs.prompt_embeds,
                 timestep, rope=rope, return_hidden_states=True,
-                use_flash=dcfg.use_flash, seq_axis=dcfg.seq_axis)
+                use_flash=dcfg.use_flash, seq_axis=dcfg.seq_axis,
+                ring_mesh=dcfg.ring_mesh)
             text_len = inputs.prompt_embeds.shape[1]
             sg = g.hidden_states_list[:, :, text_len:]
             return transformer.apply(
@@ -244,13 +249,15 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
                 self_guidance_hidden_states=sg,
                 self_guidance_masks=mask,
                 return_hidden_states=capture,
-                use_flash=dcfg.use_flash, seq_axis=dcfg.seq_axis, **kw)
+                use_flash=dcfg.use_flash, seq_axis=dcfg.seq_axis,
+                ring_mesh=dcfg.ring_mesh, **kw)
 
         # "plain" latent-blend baseline: bare backbone
         return transformer.apply(
             params["transformer"], latent_model_input, inputs.prompt_embeds,
             timestep, rope=rope, return_hidden_states=capture,
-            use_flash=dcfg.use_flash, seq_axis=dcfg.seq_axis, **kw)
+            use_flash=dcfg.use_flash, seq_axis=dcfg.seq_axis,
+                ring_mesh=dcfg.ring_mesh, **kw)
 
     def scheduler_and_blend(inputs: DenoiseInputs, latents, old_x0, noise_pred, i, step_key):
         noise_pred = noise_pred.astype(jnp.float32)

@@ -178,6 +178,7 @@ class CogVideoXI2VDualInpaintPipeline:
         output_type: str = "np",
         use_flash: bool = False,
         seq_axis: Optional[str] = None,
+        ring_mesh=None,
         dtype=jnp.float32,
     ):
         """Returns decoded video [B, T, H, W, 3] in [-1, 1] (or latents).
@@ -223,7 +224,7 @@ class CogVideoXI2VDualInpaintPipeline:
             mask_add=mask_add, mask_background=mask_background, add_first=add_first,
             wo_text=wo_text, id_pool_resample=id_pool_resample,
             is_dpm=isinstance(self.scheduler, CogVideoXDPMScheduler),
-            use_flash=use_flash, seq_axis=seq_axis,
+            use_flash=use_flash, seq_axis=seq_axis, ring_mesh=ring_mesh,
             mode=self._mode)
         denoise = self._get_denoise(dcfg, timesteps)
 

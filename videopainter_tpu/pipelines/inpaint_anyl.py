@@ -65,6 +65,7 @@ class CogVideoXI2VDualInpaintAnyLPipeline(CogVideoXI2VDualInpaintPipeline):
         output_type: str = "np",
         use_flash: bool = False,
         seq_axis: Optional[str] = None,
+        ring_mesh=None,
         dtype=jnp.float32,
     ):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -112,7 +113,7 @@ class CogVideoXI2VDualInpaintAnyLPipeline(CogVideoXI2VDualInpaintPipeline):
             mask_add=mask_add, mask_background=mask_background, add_first=add_first,
             wo_text=wo_text, id_pool_resample=id_pool_resample,
             is_dpm=isinstance(self.scheduler, CogVideoXDPMScheduler),
-            use_flash=use_flash, seq_axis=seq_axis,
+            use_flash=use_flash, seq_axis=seq_axis, ring_mesh=ring_mesh,
             mode=self._mode)
 
         prev_state: Optional[Dict[str, Any]] = None
