@@ -133,7 +133,7 @@ def _x0_loss(scheduler, model_output, noisy_video_latents, timesteps,
 
 
 def make_branch_train_step(transformer, branch, vae, scheduler, optimizer,
-                           cfg: BranchTrainConfig):
+                           cfg: BranchTrainConfig, ring_mesh=None):
     """Branch SFT: trains only the branch; backbone/VAE frozen.
 
     batch keys: pixel_values, conditioning_pixel_values, masks, prompt_embeds.
@@ -158,12 +158,14 @@ def make_branch_train_step(transformer, branch, vae, scheduler, optimizer,
         def loss_fn(branch_params):
             samples = branch.apply(branch_params, noisy_vid, prompt_embeds,
                                    branch_cond, timesteps, rope=rope,
-                                   remat=cfg.remat, use_flash=cfg.use_flash, seq_axis=cfg.seq_axis)
+                                   remat=cfg.remat, use_flash=cfg.use_flash,
+                                   seq_axis=cfg.seq_axis, ring_mesh=ring_mesh)
             out = transformer.apply(
                 frozen_transformer, noisy_model_input, prompt_embeds, timesteps,
                 rope=rope, branch_block_samples=samples,
                 branch_block_masks=mask_lat if cfg.mask_add else None,
-                add_first=cfg.add_first, remat=cfg.remat, use_flash=cfg.use_flash, seq_axis=cfg.seq_axis)
+                add_first=cfg.add_first, remat=cfg.remat, use_flash=cfg.use_flash,
+                                   seq_axis=cfg.seq_axis, ring_mesh=ring_mesh)
             return _x0_loss(scheduler, out.sample, noisy_vid, timesteps,
                             model_input, mask_lat, cfg.inpainting_loss_weight)
 
@@ -190,7 +192,7 @@ def make_branch_train_step(transformer, branch, vae, scheduler, optimizer,
 
 
 def make_lora_train_step(transformer, branch, vae, scheduler, optimizer,
-                         cfg: BranchTrainConfig):
+                         cfg: BranchTrainConfig, ring_mesh=None):
     """ID-resample LoRA: trains rank-r LoRA on backbone to_q/k/v/out; branch +
     backbone base + VAE frozen; forwards with ID-resampling attention
     (reference train_..._resample.py: LoraConfig r=256 alpha=128,
@@ -205,7 +207,8 @@ def make_lora_train_step(transformer, branch, vae, scheduler, optimizer,
                              else noisy_vid)
         samples = branch.apply(frozen_models["branch"], noisy_vid, prompt_embeds,
                                branch_cond, timesteps, rope=rope,
-                               remat=cfg.remat, use_flash=cfg.use_flash, seq_axis=cfg.seq_axis)
+                               remat=cfg.remat, use_flash=cfg.use_flash,
+                                   seq_axis=cfg.seq_axis, ring_mesh=ring_mesh)
         samples = jax.lax.stop_gradient(samples)
 
         def loss_fn(lora_params):
@@ -217,7 +220,8 @@ def make_lora_train_step(transformer, branch, vae, scheduler, optimizer,
                 branch_block_masks=mask_lat if cfg.mask_add else None,
                 add_first=cfg.add_first,
                 id_pool_resample=cfg.id_pool_resample, remat=cfg.remat,
-                use_flash=cfg.use_flash, seq_axis=cfg.seq_axis)
+                use_flash=cfg.use_flash,
+                                   seq_axis=cfg.seq_axis, ring_mesh=ring_mesh)
             return _x0_loss(scheduler, out.sample, noisy_vid, timesteps,
                             model_input, mask_lat, cfg.inpainting_loss_weight)
 
