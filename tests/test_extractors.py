@@ -70,3 +70,18 @@ def test_i3d_matches_reference_port(goldens):
     feats = i3d_extract_features(params, video)
     np.testing.assert_allclose(np.asarray(feats), g["features"],
                                rtol=1e-3, atol=1e-3)
+
+
+def test_clip_extractor_matches_torch(goldens):
+    """ClipExtractor (Flax CLIP + processor) vs torch CLIPModel on the tiny
+    golden checkpoint: image features + CLIPScore convention
+    (reference evaluate/metrics.py:841-901)."""
+    pytest.importorskip("transformers")
+    from videopainter_tpu.evaluate.extractors import ClipExtractor
+
+    g = goldens("clip")
+    ce = ClipExtractor("tests/goldens/clip_tiny")
+    emb = ce.image_embed(g["img"])
+    np.testing.assert_allclose(emb, g["image_features"], rtol=1e-4, atol=1e-5)
+    score = ce.clip_score(g["img"], str(g["text"]))
+    np.testing.assert_allclose(score, float(g["clip_score"]), rtol=1e-4)
