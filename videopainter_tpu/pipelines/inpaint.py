@@ -188,6 +188,13 @@ class CogVideoXI2VDualInpaintPipeline:
         `with mesh:`); video tokens shard over it, XLA inserts KV all-gathers.
         """
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if video.shape[1] > 49:
+            # reference guard (pipeline_..._branch.py:751-754): static
+            # positional embeddings cap single-clip length at 49 frames -
+            # use the AnyL pipeline for longer videos
+            raise ValueError(
+                f"num_frames {video.shape[1]} > 49; use the any-length "
+                "pipeline (CogVideoX...AnyLPipeline) for longer videos")
         do_cfg = guidance_scale > 1.0
 
         if prompt_embeds is None:
