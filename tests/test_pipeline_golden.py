@@ -133,3 +133,42 @@ def test_anyl_end_to_end(stack):
     mse = np.square(ours01 - ref).mean()
     psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
     assert psnr >= 35.0, f"PSNR vs torch reference {psnr:.1f} dB < 35"
+
+
+def test_anyl_id_resample_end_to_end(stack):
+    """Any-length + ID resampling (the VideoPainterID inference path):
+    per-layer masked KV re-attention on the current window + the previous
+    window's cached hidden states (reference :962-988 with
+    id_pool_resample_learnable=True)."""
+    g, _, branch, vae, params, sched = stack
+    rs_cfg = TransformerConfig.tiny(in_channels=32, out_channels=16,
+                                    sample_height=8, sample_width=12,
+                                    id_pool_resample_learnable=True)
+    transformer = CogVideoXTransformer3D(rs_cfg)
+    pipe = CogVideoXI2VDualInpaintAnyLPipeline(transformer, branch, vae, sched)
+
+    video = jnp.asarray(g["io::video2"]) * 2 - 1
+    masks = jnp.asarray(g["io::masks2"])
+    image = jnp.asarray(g["io::image2"]) * 2 - 1
+    embeds = jnp.asarray(g["io::embeds"])
+
+    init_noises, dpm_list = [], []
+    base = 0
+    for _ in range(3):
+        init_noises.append(to_lat_jax(g[f"noise::anyl_rs::{base}"]))
+        noises, base = effective_dpm_noises(g, "anyl_rs", base, 4)
+        dpm_list.append(noises)
+    assert base == int(g["io::anyl_rs::n_noises"])
+
+    out = pipe(params, image=image, video=video, masks=masks,
+               num_frames=9, stride=4,
+               prompt_embeds=embeds, negative_prompt_embeds=jnp.zeros_like(embeds),
+               num_inference_steps=4, guidance_scale=6.0, use_dynamic_cfg=True,
+               prev_clip_weight=0.3, id_pool_resample=True,
+               replace_gt=True, mask_add=True,
+               vae_sample_mode="mode", init_noises=init_noises,
+               dpm_noises_list=dpm_list, rng=jax.random.PRNGKey(0))
+    ours01 = np.asarray(out) / 2 + 0.5
+    ref = g["io::anyl_rs::out"][None]
+    np.testing.assert_allclose(ours01, ref, rtol=0, atol=3e-3)
+    assert np.abs(ours01 - ref).mean() < 3e-4

@@ -180,8 +180,40 @@ def main():
         out[f"noise::anyl::{i}"] = arr
     out["io::anyl::n_noises"] = np.array(len(nq2.record))
 
+    # ---- any-length + ID-resample run (VideoPainterID inference path) -----
+    # NOTE the resample processor is selected at BLOCK CONSTRUCTION
+    # (cogvideox_transformer_3d.py:98-99); the forward kwarg only builds the
+    # mask. Rebuild the transformer with the flag, same weights.
+    transformer_rs = CogVideoXTransformer3DModel(
+        **DIT_KW, id_pool_resample_learnable=True)
+    transformer_rs.eval()
+    transformer_rs.load_state_dict(transformer.state_dict())
+    nq3 = NoiseQueue(555)
+    anyl_mod.randn_tensor = nq3
+    dpm_mod.randn_tensor = nq3
+    sched3 = CogVideoXDPMScheduler(**sched_kw)
+    pipe3 = anyl_mod.CogVideoXI2VDualInpaintAnyLPipeline(
+        tokenizer=None, text_encoder=None, vae=vae, transformer=transformer_rs,
+        scheduler=sched3, branch=branch)
+    with torch.no_grad():
+        res3 = pipe3(
+            image=image2_pil, video=video2, masks=masks2,
+            prompt_embeds=torch.tensor(embeds),
+            negative_prompt_embeds=torch.tensor(neg),
+            height=H, width=W, num_frames=9, stride=4,
+            num_inference_steps=4, guidance_scale=6.0, use_dynamic_cfg=True,
+            strength=1.0, conditioning_scale=1.0, prev_clip_weight=0.3,
+            id_pool_resample_learnable=True,
+            replace_gt=True, mask_add=True, output_type="np",
+        )
+    out["io::anyl_rs::out"] = res3.frames[0] if hasattr(res3, "frames") else res3[0]
+    for i, arr in enumerate(nq3.record):
+        out[f"noise::anyl_rs::{i}"] = arr
+    out["io::anyl_rs::n_noises"] = np.array(len(nq3.record))
+
     np.savez_compressed(OUT, **out)
-    print(f"wrote {OUT}: {len(out)} arrays; noises single={len(nq.record)} anyl={len(nq2.record)}")
+    print(f"wrote {OUT}: {len(out)} arrays; noises single={len(nq.record)} "
+          f"anyl={len(nq2.record)} anyl_rs={len(nq3.record)}")
 
 
 if __name__ == "__main__":
