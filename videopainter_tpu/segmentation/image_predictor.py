@@ -159,14 +159,17 @@ class SAM2AutomaticMaskGenerator:
         candidates = []
         for y in ys:
             for x in xs:
-                masks, ious, low = self.predictor.predict(
+                logits, ious, low = self.predictor.predict(
                     point_coords=np.array([[x, y]], np.float32),
                     point_labels=np.array([1], np.int32),
-                    multimask_output=True)
+                    multimask_output=True, return_logits=True)
+                masks = logits > 0.0
                 for k in range(masks.shape[0]):
                     if ious[k] < self.cfg.pred_iou_thresh:
                         continue
-                    stab = _stability_score(low[k], self.cfg.stability_offset)
+                    # stability from the high-res logits (amg.py
+                    # calculate_stability_score on the model-threshold masks)
+                    stab = _stability_score(logits[k], self.cfg.stability_offset)
                     if stab < self.cfg.stability_score_thresh:
                         continue
                     box = _mask_to_box(masks[k])
