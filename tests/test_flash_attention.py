@@ -103,3 +103,24 @@ def test_flash_gradients_interpret(s_q, s_k):
     for name, a, b in zip("qkv", g_out, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=3e-5, err_msg=f"d{name}")
+
+
+def test_flash_with_lse_interpret():
+    """(out, lse) contract used by ring attention: lse must equal the
+    logsumexp of scaled scores."""
+    import jax
+
+    from videopainter_tpu.ops.flash_attention import flash_attention_with_lse
+
+    q, k, v = make_qkv(200, 300, d=16)
+    scale = 16 ** -0.5
+    with jax.experimental.pallas.tpu.force_tpu_interpret_mode() if hasattr(
+            jax.experimental.pallas, "tpu") else _null():
+        out, lse = flash_attention_with_lse(q, k, v, blk_q=128, blk_k=128)
+    ref = sdpa(q, k, v)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    ref_lse = jax.scipy.special.logsumexp(s, axis=-1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
+                               rtol=1e-5, atol=1e-5)

@@ -294,6 +294,24 @@ def _flash_bwd(scale, blk_q, blk_k, bwd_blk_k, res, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+def flash_attention_with_lse(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                             scale: Optional[float] = None, *,
+                             blk_q: int = 512, blk_k: int = 2048):
+    """Forward-only flash attention returning (out, lse) with
+    lse = logsumexp of the scaled scores per query row - the merge state for
+    ring attention (parallel/ring_attention.py combines shards in
+    (out, lse) space)."""
+    b, h, s_q, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+    qf, kf, vf = _pad_qkv(q, k, v, blk_q, blk_k)
+    out, lse = _flash_padded(qf, kf, vf, float(scale), k.shape[2], blk_q,
+                             blk_k, with_lse=True)
+    out = out.reshape(b, h, -1, d)[:, :, :s_q]
+    lse = lse.reshape(b, h, -1)[:, :, :s_q]
+    return out, lse
+
+
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     scale: Optional[float] = None, *, blk_q: int = 512,
                     blk_k: int = 2048, bwd_blk_k: int = 1024) -> jnp.ndarray:

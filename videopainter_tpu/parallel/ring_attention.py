@@ -127,9 +127,28 @@ def _merge_stats(m_a, l_a, acc_a, m_b, l_b, acc_b):
             acc_a * a[..., None] + acc_b * b[..., None])
 
 
+def _local_out_lse(q, k, v, scale, use_flash: bool):
+    """(out, lse) of a local attention block - the ring merge state."""
+    if use_flash:
+        from ..ops.flash_attention import flash_attention_with_lse
+
+        return flash_attention_with_lse(q, k, v, scale)
+    m, l, acc = _local_attention_stats(q, k, v, scale)
+    return acc / l[..., None], m + jnp.log(l)
+
+
+def _merge_out_lse(out_a, lse_a, out_b, lse_b):
+    m = jnp.maximum(lse_a, lse_b)
+    wa = jnp.exp(lse_a - m)
+    wb = jnp.exp(lse_b - m)
+    out = (out_a * wa[..., None] + out_b * wb[..., None]) / (wa + wb)[..., None]
+    return out, m + jnp.log(wa + wb)
+
+
 def ring_joint_attention(q_text, q_vid, k_text, k_vid, v_text, v_vid,
                          mesh: Mesh, *, axis: str = AXES.seq,
-                         scale: Optional[float] = None):
+                         scale: Optional[float] = None,
+                         use_flash: bool = False):
     """Joint [text ‖ video] ring attention (the flagship DiT layout).
 
     Video K/V shards rotate around the ICI ring; the replicated text K/V is
@@ -147,24 +166,28 @@ def ring_joint_attention(q_text, q_vid, k_text, k_vid, v_text, v_vid,
 
     def shard_fn(q_text, q_vid, k_text, k_vid, v_text, v_vid):
         q = jnp.concatenate([q_text, q_vid], axis=2)
-        # text block first: counted exactly once per query (it never rotates)
-        m0, l0, acc0 = _local_attention_stats(q, k_text, v_text, scale_)
+        # text block first: counted exactly once per query (it never rotates).
+        # Accumulation runs in (out, lse) space so the local block can be the
+        # Pallas flash kernel (use_flash) on real chips.
+        out0, lse0 = _local_out_lse(q, k_text, v_text, scale_, use_flash)
 
         def step(carry, _):
-            m_p, l_p, acc_p, k_rot, v_rot = carry
-            m_c, l_c, acc_c = _local_attention_stats(q, k_rot, v_rot, scale_)
-            m, l, acc = _merge_stats(m_p, l_p, acc_p, m_c, l_c, acc_c)
+            out_p, lse_p, k_rot, v_rot = carry
+            out_c, lse_c = _local_out_lse(q, k_rot, v_rot, scale_, use_flash)
+            out_m, lse_m = _merge_out_lse(out_p, lse_p,
+                                          out_c.astype(out_p.dtype), lse_c)
             perm = [(j, (j + 1) % n) for j in range(n)]
-            return (m, l, acc,
+            return (out_m, lse_m,
                     jax.lax.ppermute(k_rot, axis, perm),
                     jax.lax.ppermute(v_rot, axis, perm)), ()
 
         # make the init stats carry the varying `axis` tag (they will vary
         # once merged with the rotating shards)
-        m0 = m0 + jnp.zeros_like(q_vid[..., :1, 0])
-        (m, l, acc, _, _), _ = jax.lax.scan(
-            step, (m0, l0, acc0, k_vid, v_vid), None, length=n)
-        out = (acc / l[..., None]).astype(q_vid.dtype)
+        lse0 = lse0 + jnp.zeros_like(q_vid[..., :1, 0])
+        out0 = out0.astype(jnp.float32)
+        (out, lse, _, _), _ = jax.lax.scan(
+            step, (out0, lse0, k_vid, v_vid), None, length=n)
+        out = out.astype(q_vid.dtype)
         out_text = jax.lax.pmean(out[:, :, :s_text], axis)
         return out_text, out[:, :, s_text:]
 
