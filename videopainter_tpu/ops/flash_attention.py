@@ -314,7 +314,7 @@ def flash_attention_with_lse(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     scale: Optional[float] = None, *, blk_q: int = 512,
-                    blk_k: int = 2048, bwd_blk_k: int = 1024) -> jnp.ndarray:
+                    blk_k: int = 2048, bwd_blk_k: int = 2048) -> jnp.ndarray:
     """Bidirectional flash attention. q, k, v: [B, H, S, D]. Returns [B, H, S, D].
 
     Pads sequence lengths to block multiples; padded keys are masked, padded
