@@ -21,15 +21,23 @@ from .predictor import SAM2VideoPredictor, SAM2Config
 def build_sam2_video_predictor(variant: str, checkpoint_path: str,
                                image_size: int = 1024) -> SAM2VideoPredictor:
     """build_sam.py:60+ analog: variant in {tiny, small, base_plus, large},
-    checkpoint = torch SAM2 .pt."""
-    import torch
-
-    from .convert import convert_sam2_state_dict
+    checkpoint = torch SAM2 .pt, or the converted .npz from
+    tools/convert_checkpoint.py."""
     from .hiera import hiera_config
 
-    ckpt = torch.load(checkpoint_path, map_location="cpu")
-    sd = ckpt.get("model", ckpt)
-    params = convert_sam2_state_dict({k: v.numpy() for k, v in sd.items()})
+    if checkpoint_path.endswith(".npz"):
+        from .convert import load_sam2_npz
+
+        params = load_sam2_npz(checkpoint_path)
+    else:
+        import torch
+
+        from .convert import convert_sam2_state_dict
+
+        ckpt = torch.load(checkpoint_path, map_location="cpu")
+        sd = ckpt.get("model", ckpt)
+        params = convert_sam2_state_dict(
+            {k: v.numpy() for k, v in sd.items()})
     cfg = SAM2Config(hiera=hiera_config(variant), image_size=image_size)
     return SAM2VideoPredictor(cfg, params)
 

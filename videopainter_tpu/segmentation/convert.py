@@ -233,3 +233,37 @@ def convert_sam2_state_dict(sd: Dict[str, np.ndarray]) -> dict:
     if "mask_downsample.weight" in sd:
         p["mask_downsample"] = _conv(sd, "mask_downsample")
     return p
+
+
+def load_sam2_npz(path: str) -> dict:
+    """Load the flat .npz written by tools/convert_checkpoint.py back into the
+    param pytree (keys are '/'-joined; integer components are list indices)."""
+    flat = np.load(path)
+
+    def insert(tree, keys, value):
+        k = keys[0]
+        idx = int(k) if k.isdigit() else None
+        if len(keys) == 1:
+            if idx is not None:
+                while len(tree) <= idx:
+                    tree.append(None)
+                tree[idx] = value
+            else:
+                tree[k] = value
+            return
+        nxt_is_idx = keys[1].isdigit()
+        if idx is not None:
+            while len(tree) <= idx:
+                tree.append(None)
+            if tree[idx] is None:
+                tree[idx] = [] if nxt_is_idx else {}
+            insert(tree[idx], keys[1:], value)
+        else:
+            if k not in tree:
+                tree[k] = [] if nxt_is_idx else {}
+            insert(tree[k], keys[1:], value)
+
+    root: dict = {}
+    for key in flat.files:
+        insert(root, key.split("/"), flat[key])
+    return root
