@@ -83,3 +83,20 @@ def test_hires_click_and_propagation(env_hires):
         np.testing.assert_allclose(np.squeeze(m),
                                    np.squeeze(g[f"io::prop::{idx}"]),
                                    err_msg=f"frame {idx}", **TOL)
+
+
+def test_reverse_propagation_matches(env):
+    """Click on the LAST frame, propagate backwards (reverse memory ordering
+    + future-obj-pointer selection, sam2_video_predictor.py:606+ reverse)."""
+    g, predictor = env
+    state = predictor.init_state(g["io::video_decoded"])
+    mask = predictor.add_new_points(state, 3,
+                                    np.array([[40.0, 36.0]], np.float32),
+                                    np.array([1], np.int32))
+    np.testing.assert_allclose(np.squeeze(mask),
+                               np.squeeze(g["io::rev_click_mask"]), **TOL)
+    for idx, m in predictor.propagate_in_video(state, start_frame_idx=3,
+                                               reverse=True):
+        np.testing.assert_allclose(np.squeeze(m),
+                                   np.squeeze(g[f"io::rev::{idx}"]),
+                                   err_msg=f"frame {idx}", **TOL)

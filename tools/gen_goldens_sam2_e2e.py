@@ -150,6 +150,17 @@ def main():
         for fidx, _, masks in model.propagate_in_video(state):
             out[f"io::prop::{fidx}"] = masks[0].numpy()
 
+        # reverse propagation: fresh state, click on the LAST frame, go back
+        model.reset_state(state)
+        _, _, rmask = model.add_new_points(
+            state, frame_idx=3, obj_id=1,
+            points=torch.tensor(np.array([[40.0, 36.0]], np.float32)),
+            labels=torch.tensor(np.array([1], np.int32)))
+        out["io::rev_click_mask"] = rmask[0].numpy()
+        for fidx, _, masks in model.propagate_in_video(
+                state, start_frame_idx=3, reverse=True):
+            out[f"io::rev::{fidx}"] = masks[0].numpy()
+
     np.savez_compressed(OUT, **out)
     print(f"wrote {OUT}: {len(out)} arrays; prop frames:",
           [k for k in out if k.startswith("io::prop")])
