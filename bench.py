@@ -32,7 +32,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=0,
                     help="backbone layers to materialize (scaled to 42); "
-                         "0 = auto ladder (21 -> 8 -> 4, deepest that fits)")
+                         "0 = auto ladder (42 -> 21 -> 8 -> 4, deepest that fits)")
+    ap.add_argument("--seq-cfg", action="store_true",
+                    help="sequential CFG: two B=1 forwards instead of one "
+                         "CFG-batched B=2 forward — halves activation memory "
+                         "so the full 42L model fits one 16 GB chip")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--tiny", action="store_true", help="smoke mode (CI)")
     ap.add_argument("--skip-vae", action="store_true")
@@ -49,13 +53,16 @@ def main():
         # consistent between 4L and 21L so the 42L extrapolation is sound)
         import subprocess
 
-        for layers in (21, 8, 4):
+        # 42L only fits with sequential CFG (two B=1 forwards); the batched
+        # CFG path needs the 21L truncation + extrapolation
+        for layers, seq_cfg in ((42, True), (21, False), (8, False), (4, False)):
             cmd = [sys.executable, __file__, "--layers", str(layers),
                    "--steps", str(args.steps)] + \
+                  (["--seq-cfg"] if seq_cfg else []) + \
                   (["--skip-vae"] if args.skip_vae else []) + \
                   (["--fuse-qkv"] if args.fuse_qkv else [])
             res = subprocess.run(cmd, capture_output=True, text=True,
-                                 timeout=1500)
+                                 timeout=2400)
             lines = [l for l in res.stdout.splitlines() if l.startswith("{")]
             if res.returncode == 0 and lines:
                 print(lines[-1])
@@ -112,28 +119,56 @@ def main():
 
     use_flash = not args.tiny
 
+    def forward_one(params, latents, masked, image_latents, mask, embeds_b,
+                    rope, ts):
+        model_in = jnp.concatenate([latents, image_latents], axis=-1)
+        cond = jnp.concatenate([masked, mask[..., None]], axis=-1)
+        samples = branch.apply(params["branch"], latents, embeds_b, cond, ts,
+                               rope=rope, use_flash=use_flash)
+        out = transformer.apply(params["transformer"], model_in, embeds_b, ts,
+                                rope=rope, branch_block_samples=samples,
+                                branch_block_masks=mask, use_flash=use_flash)
+        return out.sample
+
     def denoise_step(params, latents, masked, image_latents, mask, embeds,
                      rope, t):
         # all arrays are jit ARGS, not closures - closed-over arrays embed as
         # MLIR constants, whose host fetch OOMs when HBM is near-full (42L)
         lvi = jnp.concatenate([latents, latents], axis=0)
-        model_in = jnp.concatenate(
-            [lvi, jnp.concatenate([image_latents] * 2, axis=0)], axis=-1)
-        cond = jnp.concatenate(
-            [jnp.concatenate([masked] * 2, axis=0),
-             jnp.concatenate([mask] * 2, axis=0)[..., None]], axis=-1)
         ts = jnp.broadcast_to(t, (2 * B,))
-        samples = branch.apply(params["branch"], lvi, embeds, cond, ts, rope=rope,
-                               use_flash=use_flash)
-        out = transformer.apply(params["transformer"], model_in, embeds, ts,
-                                rope=rope, branch_block_samples=samples,
-                                branch_block_masks=jnp.concatenate([mask] * 2, axis=0),
-                                use_flash=use_flash)
-        u, c = jnp.split(out.sample.astype(jnp.float32), 2, axis=0)
+        out = forward_one(
+            params, lvi,
+            jnp.concatenate([masked] * 2, axis=0),
+            jnp.concatenate([image_latents] * 2, axis=0),
+            jnp.concatenate([mask] * 2, axis=0), embeds, rope, ts)
+        u, c = jnp.split(out.astype(jnp.float32), 2, axis=0)
         pred = u + 6.0 * (c - u)
         return (latents.astype(jnp.float32) * 0.99 - 0.01 * pred).astype(dtype)
 
-    step = jax.jit(denoise_step, donate_argnums=(1,))
+    def combine(latents, u, c):
+        pred = u.astype(jnp.float32) + 6.0 * (c - u).astype(jnp.float32)
+        return (latents.astype(jnp.float32) * 0.99 - 0.01 * pred).astype(dtype)
+
+    if args.seq_cfg:
+        # sequential CFG: uncond and cond as SEPARATE B=1 dispatches — each
+        # call's activation temps are freed at call exit and only the bf16
+        # outputs persist, so the full 42L model fits one 16 GB chip (the
+        # one-program CFG-batched variant exceeds HBM by design: a second
+        # forward's temps coexist with the first's fp32 residual)
+        fwd = jax.jit(
+            lambda params, latents, masked, image_latents, mask, e, rope, ts:
+            forward_one(params, latents, masked, image_latents, mask, e,
+                        rope, ts))
+        comb = jax.jit(combine, donate_argnums=(0, 1, 2))
+        eu, ec = embeds[:B], embeds[B:]
+
+        def step(params, latents, masked, image_latents, mask, embeds, rope, t):
+            ts = jnp.broadcast_to(t, (B,))
+            u = fwd(params, latents, masked, image_latents, mask, eu, rope, ts)
+            c = fwd(params, latents, masked, image_latents, mask, ec, rope, ts)
+            return comb(latents, u, c)
+    else:
+        step = jax.jit(denoise_step, donate_argnums=(1,))
     sync = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
 
     t0 = time.time()
@@ -184,6 +219,7 @@ def main():
         "detail": {
             "step_ms_measured": round(step_time * 1e3, 1),
             "layers_measured": cfg.num_layers,
+            "cfg_mode": "sequential" if args.seq_cfg else "batched",
             "step_ms_extrapolated_42L": round(full_step_time * 1e3, 1),
             "vae_decode_s": round(decode_time, 2),
             "vae_decode_fps": round(49.0 / decode_time, 1) if decode_time else None,

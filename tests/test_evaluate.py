@@ -21,16 +21,44 @@ def test_psnr_known_value():
     assert psnr(a, b) == pytest.approx(20.0, abs=1e-6)
 
 
-def test_ssim_matches_torchmetrics():
-    torch = pytest.importorskip("torch")
-    tm = pytest.importorskip("torchmetrics")
+def _ssim_reference(a, b, data_range=1.0, k1=0.01, k2=0.03):
+    """Independent re-derivation of torchmetrics' SSIM (Wang et al. 2004:
+    11x11 gaussian window sigma 1.5, valid padding, mean over channels),
+    written directly from the formula so it shares no code with the
+    implementation under test."""
+    x = np.arange(11) - 5
+    g1 = np.exp(-(x**2) / (2 * 1.5**2))
+    g1 /= g1.sum()
+    win = np.outer(g1, g1)
+    c1, c2 = (k1 * data_range) ** 2, (k2 * data_range) ** 2
+    vals = []
+    for ch in range(a.shape[-1]):
+        ai, bi = a[..., ch].astype(np.float64), b[..., ch].astype(np.float64)
+
+        def filt(img):
+            h, w = img.shape
+            out = np.empty((h - 10, w - 10))
+            for i in range(h - 10):
+                for j in range(w - 10):
+                    out[i, j] = float((img[i:i + 11, j:j + 11] * win).sum())
+            return out
+
+        mu_a, mu_b = filt(ai), filt(bi)
+        saa = filt(ai * ai) - mu_a**2
+        sbb = filt(bi * bi) - mu_b**2
+        sab = filt(ai * bi) - mu_a * mu_b
+        s = ((2 * mu_a * mu_b + c1) * (2 * sab + c2) /
+             ((mu_a**2 + mu_b**2 + c1) * (saa + sbb + c2)))
+        vals.append(s.mean())
+    return float(np.mean(vals))
+
+
+def test_ssim_matches_reference_formula():
     rng = np.random.RandomState(1)
-    a = rng.rand(48, 64, 3).astype(np.float32)
-    b = np.clip(a + rng.randn(48, 64, 3).astype(np.float32) * 0.05, 0, 1)
-    ref = tm.image.StructuralSimilarityIndexMeasure(data_range=1.0)
-    r = float(ref(torch.tensor(b).permute(2, 0, 1)[None],
-                  torch.tensor(a).permute(2, 0, 1)[None]))
-    np.testing.assert_allclose(ssim(b, a), r, rtol=1e-3, atol=1e-4)
+    a = rng.rand(32, 40, 3).astype(np.float32)
+    b = np.clip(a + rng.randn(32, 40, 3).astype(np.float32) * 0.05, 0, 1)
+    np.testing.assert_allclose(ssim(b, a), _ssim_reference(b, a),
+                               rtol=1e-3, atol=1e-4)
 
 
 def test_frechet_distance_properties():

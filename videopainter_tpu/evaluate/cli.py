@@ -49,6 +49,13 @@ def get_args(argv=None):
     p.add_argument("--max_video_length", type=int, default=None,
                    help="max videos to evaluate")
     p.add_argument("--prompt_embeds_file", default=None)
+    p.add_argument("--lpips_weights", default=None,
+                   help="local LPIPS-squeeze checkpoint (.pt/.npz) -> "
+                        "JAX-native lpips/masked_lpips metrics")
+    p.add_argument("--i3d_weights", default=None,
+                   help="local pytorch-i3d checkpoint -> FVID")
+    p.add_argument("--clip_path", default=None,
+                   help="local CLIP dir -> clip_score + temporal consistency")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--no_resume", action="store_true")
     p.add_argument("--seed", type=int, default=42)
@@ -101,6 +108,24 @@ def main(argv=None):
         def encode_prompt_fn(caption):
             return te.encode_with_negative(caption)
 
+    metrics = None
+    if args.lpips_weights or args.i3d_weights or args.clip_path:
+        from .extractors import ClipExtractor, I3DExtractor, make_lpips_fn
+        from .metrics import MetricsCalculator
+
+        image_embed_fn = text_image_score_fn = None
+        if args.clip_path:
+            clip = ClipExtractor(args.clip_path)
+            image_embed_fn, text_image_score_fn = (clip.image_embed,
+                                                   clip.clip_score)
+        metrics = MetricsCalculator(
+            image_embed_fn=image_embed_fn,
+            text_image_score_fn=text_image_score_fn,
+            lpips_fn=make_lpips_fn(weights_path=args.lpips_weights)
+            if args.lpips_weights else None,
+            video_feature_fn=I3DExtractor(args.i3d_weights)
+            if args.i3d_weights else None)
+
     cfg = EvalConfig(
         output_dir=args.save_addr,
         num_inference_steps=args.num_inference_steps,
@@ -113,7 +138,8 @@ def main(argv=None):
         resume=not args.no_resume, seed=args.seed,
         max_videos=args.max_video_length)
     averages = run_inpainting_eval(pipe, params, dataset, cfg,
-                                   encode_prompt_fn=encode_prompt_fn)
+                                   encode_prompt_fn=encode_prompt_fn,
+                                   metrics=metrics)
     print("corpus averages:", {k: round(v, 4) for k, v in averages.items()})
     return averages
 

@@ -198,9 +198,15 @@ class I3DExtractor:
         return i3d_extract_features(self.params, v)[0]
 
 
-def make_lpips_fn(net: str = "squeeze"):
-    """LPIPS via torchmetrics (torch CPU); returns fn(a01, b01) -> float or
-    None when weights are unavailable (zero-egress)."""
+def make_lpips_fn(net: str = "squeeze", weights_path: Optional[str] = None):
+    """LPIPS feature fn. Prefers the JAX-native implementation
+    (evaluate/lpips.py) when a local checkpoint path is given; otherwise
+    falls back to torchmetrics (torch CPU) and returns None when neither is
+    available (zero-egress)."""
+    if weights_path:
+        from .lpips import LpipsExtractor
+
+        return LpipsExtractor(weights_path)
     try:
         import torch
         from torchmetrics.image.lpip import LearnedPerceptualImagePatchSimilarity

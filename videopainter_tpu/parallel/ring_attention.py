@@ -6,7 +6,7 @@ shard the ~17.5k video tokens over ICI and rotate KV shards around the ring
 (`jax.lax.ppermute`) while accumulating the online softmax — communication
 overlaps compute, memory per chip drops by the ring size.
 
-Pattern per /opt/skills/guides/boom_attention_tricks.md §15-16:
+Pattern (standard ring attention, Liu et al. 2023):
   each chip holds Q_local, KV_local; for step in range(ring):
       accumulate attention(Q_local, KV_rot) with running (m, l, acc)
       KV_rot <- ppermute(KV_rot, +1)
