@@ -541,6 +541,22 @@ class AutoencoderKLCogVideoX:
             result_rows.append(jnp.concatenate(result_row, axis=3))
         return jnp.concatenate(result_rows, axis=2)
 
+    # -- streaming decode ------------------------------------------------------
+    def stream_decoder(self, params, total_t: int) -> "VAEStreamDecoder":
+        """Incremental decoder: feed latent frames as they become final and
+        receive decoded pixel frames chunk by chunk.
+
+        The concatenation of all emitted frames is BIT-IDENTICAL to
+        `decode(z_full)`: chunk boundaries are precomputed from `total_t` with
+        the same frame-batching rule as `_frame_batched_decode`, and the
+        causal conv caches (plus per-tile caches under tiling) are carried
+        across feeds exactly as the one-shot path carries them across its
+        internal frame batches. Used by the any-length pipeline to overlap
+        window-i decode with window-i+1 denoising (the PipeDiT-style
+        DiT/VAE task split; see pipelines/inpaint_anyl.py).
+        """
+        return VAEStreamDecoder(self, params, total_t)
+
     def tiled_decode(self, params, z):
         """Reference tiled_decode (:1279-1358) on NDHWC."""
         height, width = z.shape[2], z.shape[3]
@@ -574,3 +590,100 @@ class AutoencoderKLCogVideoX:
                 result_row.append(tile[:, :, :limit_h, :limit_w])
             result_rows.append(jnp.concatenate(result_row, axis=3))
         return jnp.concatenate(result_rows, axis=2)
+
+
+class VAEStreamDecoder:
+    """Stateful incremental decoder (see AutoencoderKLCogVideoX.stream_decoder).
+
+    Latent frames are buffered until they cross the next precomputed
+    frame-batch boundary; each boundary chunk is decoded with the carried
+    conv caches (one cache per spatial tile under tiling) and emitted. Spatial
+    tile blending only mixes values within a timestep, so blending chunk by
+    chunk is exact.
+    """
+
+    def __init__(self, vae: AutoencoderKLCogVideoX, params: dict, total_t: int):
+        if total_t < 2:
+            raise ValueError("stream_decoder needs total_t >= 2 "
+                             "(single-frame decode duplicates the frame)")
+        self.vae = vae
+        self.params = params
+        self.total_t = total_t
+        fbs = vae.num_latent_frames_batch_size
+        num_batches = max(total_t // fbs, 1)
+        rem = total_t % fbs
+        self.boundaries = [(fbs * i + (0 if i == 0 else rem),
+                            min(fbs * (i + 1) + rem, total_t))
+                           for i in range(num_batches)]
+        self.next_chunk = 0
+        self.pending: Optional[jnp.ndarray] = None
+        self.fed = 0
+        self.caches: Dict[Any, Any] = {}
+
+    def _chunk_untiled(self, zb):
+        fn = self.vae._jitted_decoder(zb.shape, zb.dtype, "full" in self.caches)
+        y, cache = fn(self.params["decoder"], zb, self.caches.get("full"))
+        self.caches["full"] = cache
+        return y
+
+    def _chunk_tiled(self, zb):
+        vae = self.vae
+        height, width = zb.shape[2], zb.shape[3]
+        overlap_h = int(vae.tile_latent_min_height * (1 - vae.tile_overlap_factor_height))
+        overlap_w = int(vae.tile_latent_min_width * (1 - vae.tile_overlap_factor_width))
+        blend_h = int(vae.tile_sample_min_height * vae.tile_overlap_factor_height)
+        blend_w = int(vae.tile_sample_min_width * vae.tile_overlap_factor_width)
+        limit_h = vae.tile_sample_min_height - blend_h
+        limit_w = vae.tile_sample_min_width - blend_w
+
+        rows = []
+        for i in range(0, height, overlap_h):
+            row = []
+            for j in range(0, width, overlap_w):
+                tile = zb[:, :, i:i + vae.tile_latent_min_height,
+                          j:j + vae.tile_latent_min_width]
+                fn = vae._jitted_decoder(tile.shape, tile.dtype,
+                                         (i, j) in self.caches)
+                y, cache = fn(self.params["decoder"], tile, self.caches.get((i, j)))
+                self.caches[(i, j)] = cache
+                row.append(y)
+            rows.append(row)
+        result_rows = []
+        for i, row in enumerate(rows):
+            result_row = []
+            for j, tile in enumerate(row):
+                # same in-place blend quirk as AutoencoderKLCogVideoX.tiled_decode
+                if i > 0:
+                    tile = vae._blend_v(rows[i - 1][j], tile, blend_h)
+                if j > 0:
+                    tile = vae._blend_h(row[j - 1], tile, blend_w)
+                rows[i][j] = tile
+                result_row.append(tile[:, :, :limit_h, :limit_w])
+            result_rows.append(jnp.concatenate(result_row, axis=3))
+        return jnp.concatenate(result_rows, axis=2)
+
+    def feed(self, z: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
+        """Feed the next latent frames [B, t, h, w, C] (None = no new frames).
+        Returns decoded pixel frames for every boundary chunk now complete,
+        or None if no chunk completed yet."""
+        if z is not None and z.shape[1]:
+            self.fed += z.shape[1]
+            if self.fed > self.total_t:
+                raise ValueError(f"fed {self.fed} > total_t {self.total_t}")
+            self.pending = (z if self.pending is None
+                            else jnp.concatenate([self.pending, z], axis=1))
+        outs = []
+        while self.next_chunk < len(self.boundaries):
+            s, e = self.boundaries[self.next_chunk]
+            if self.pending is None or self.pending.shape[1] < e - s:
+                break
+            zb = self.pending[:, :e - s]
+            self.pending = self.pending[:, e - s:]
+            h, w = zb.shape[2], zb.shape[3]
+            tiled = self.vae.use_tiling and (w > self.vae.tile_latent_min_width
+                                             or h > self.vae.tile_latent_min_height)
+            outs.append(self._chunk_tiled(zb) if tiled else self._chunk_untiled(zb))
+            self.next_chunk += 1
+        if not outs:
+            return None
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)

@@ -108,6 +108,7 @@ class DenoiseConfig:
     id_pool_resample: bool
     is_dpm: bool
     capture_hidden_states: bool = False   # capture per-layer states at the final step
+    with_progress: bool = False           # trace a per-step host callback in
     use_flash: bool = False
     seq_axis: Optional[str] = None        # GSPMD sequence-parallel mesh axis
     ring_mesh: Any = None                 # Mesh: ring attention over seq_axis
@@ -123,7 +124,7 @@ class DenoiseConfig:
 
 
 def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
-                    timesteps: np.ndarray):
+                    timesteps: np.ndarray, progress_cell: Optional[list] = None):
     """Build the jittable denoise function.
 
     Returns fn(params, inputs, rope, rng, prev_state) ->
@@ -132,6 +133,12 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
     prev_state: None or dict with stacked prev_hidden_states [L,B,S,D],
     prev_resample_mask [B,S], prev_clip_weight (float) — the any-length
     cross-clip conditioning (reference ..._anyl.py:962-966).
+
+    progress_cell: 1-element mutable list; when dcfg.with_progress, a
+    jax.debug.callback inside the scan calls progress_cell[0](step_index)
+    after each denoise step (the reference's tqdm/progress-bar hook — the
+    cell indirection keeps the jitted program cacheable while the UI swaps
+    the listener per call).
     """
     S = len(timesteps)
     is_dpm = isinstance(scheduler, CogVideoXDPMScheduler)
@@ -277,9 +284,14 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
             latents, x0 = scheduler.step(coeffs, i, noise_pred, latents)
         if dcfg.replace_gt:
             dtype = latents.dtype
-            init_latents = (inputs.video_latents * sqrt_ab[i]
+            # selfguidance blends against the MASKED-video latents, not the
+            # clean GT (pipeline_..._selfguidance.py:910-925); every other
+            # mode re-noises the clean video latents (:957-990).
+            src = (inputs.masked_video_latents if dcfg.mode == "selfguidance"
+                   else inputs.video_latents)
+            init_latents = (src * sqrt_ab[i]
                             + inputs.noise * sqrt_1mab[i]) * renoise[i] \
-                + inputs.video_latents * (1.0 - renoise[i])
+                + src * (1.0 - renoise[i])
             m = inputs.mask[..., None]
             if dcfg.mask_background:
                 latents = m * init_latents + (1 - m) * latents
@@ -287,6 +299,11 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
                 latents = (1 - m) * init_latents + m * latents
             latents = latents.astype(dtype)  # keep the scan carry dtype stable
         return latents, x0
+
+    def _notify(i):
+        fn = progress_cell[0] if progress_cell else None
+        if fn is not None:
+            fn(int(i))
 
     def denoise(params, inputs: DenoiseInputs, rope, rng, prev_state=None):
         n_scan = S - 1 if dcfg.capture_hidden_states else S
@@ -297,6 +314,8 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
             out = model_step(params, inputs, rope, latents, i, prev_state, capture=False)
             latents, x0 = scheduler_and_blend(inputs, latents, old_x0,
                                               out.sample, i, step_keys[i])
+            if dcfg.with_progress:
+                jax.debug.callback(_notify, i)
             return (latents, x0), ()
 
         init = (inputs.latents, jnp.zeros_like(inputs.latents))
@@ -309,6 +328,8 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
             out = model_step(params, inputs, rope, latents, i, prev_state, capture=True)
             latents, _ = scheduler_and_blend(inputs, latents, old_x0,
                                              out.sample, i, step_keys[i])
+            if dcfg.with_progress:
+                jax.debug.callback(_notify, jnp.asarray(i))
             hidden_states_list = out.hidden_states_list
             resample_mask = out.resample_mask
         return latents, hidden_states_list, resample_mask

@@ -57,6 +57,7 @@ class CogVideoXI2VDualInpaintPipeline:
         self.vae_scale_factor_spatial = vae.cfg.spatial_compression_ratio
         self.vae_scale_factor_temporal = vae.cfg.temporal_compression_ratio
         self._denoise_cache: Dict[Any, Any] = {}
+        self._progress_cell: list = [None]  # per-step listener (see common.py)
 
     # ------------------------------------------------------------------
     def encode_prompt(self, params, prompt, negative_prompt="",
@@ -146,7 +147,8 @@ class CogVideoXI2VDualInpaintPipeline:
         key = (dcfg, tuple(int(t) for t in timesteps))
         if key not in self._denoise_cache:
             fn = make_denoise_fn(self.transformer, self.branch, self.scheduler,
-                                 dcfg, timesteps)
+                                 dcfg, timesteps,
+                                 progress_cell=self._progress_cell)
             self._denoise_cache[key] = jax.jit(fn)
         return self._denoise_cache[key]
 
@@ -179,6 +181,7 @@ class CogVideoXI2VDualInpaintPipeline:
         use_flash: bool = False,
         seq_axis: Optional[str] = None,
         ring_mesh=None,
+        progress_fn: Optional[Any] = None,   # called with (step, total_steps)
         dtype=jnp.float32,
     ):
         """Returns decoded video [B, T, H, W, 3] in [-1, 1] (or latents).
@@ -216,6 +219,12 @@ class CogVideoXI2VDualInpaintPipeline:
             strength=strength, timesteps=timesteps, mask_background=mask_background,
             need_video_latents=True, vae_sample_mode=vae_sample_mode,
             init_noise=init_noise, dtype=dtype)
+        if self._mode == "selfguidance":
+            # reference ..._selfguidance.py:838-840: the denoise loop STARTS
+            # from the noised masked-video latents, not pure noise
+            t0 = jnp.full((video.shape[0],), int(timesteps[0]), dtype=jnp.int32)
+            inputs = inputs._replace(latents=self.scheduler.add_noise(
+                inputs.masked_video_latents, inputs.noise, t0))
         inputs = inputs._replace(prompt_embeds=embeds.astype(dtype))
         if dpm_noises is not None:
             inputs = inputs._replace(dpm_noises=jnp.asarray(dpm_noises, dtype=dtype))
@@ -232,11 +241,20 @@ class CogVideoXI2VDualInpaintPipeline:
             wo_text=wo_text, id_pool_resample=id_pool_resample,
             is_dpm=isinstance(self.scheduler, CogVideoXDPMScheduler),
             use_flash=use_flash, seq_axis=seq_axis, ring_mesh=ring_mesh,
+            with_progress=progress_fn is not None,
             mode=self._mode)
         denoise = self._get_denoise(dcfg, timesteps)
 
+        n_steps = len(timesteps)
+        if progress_fn is not None:
+            self._progress_cell[0] = lambda i: progress_fn(i + 1, n_steps)
         rng, k = jax.random.split(rng)
-        latents, _, _ = denoise(params, inputs, rope, k)
+        try:
+            latents, _, _ = denoise(params, inputs, rope, k)
+            if progress_fn is not None:
+                latents = jax.block_until_ready(latents)
+        finally:
+            self._progress_cell[0] = None
 
         if output_type == "latent":
             return latents

@@ -11,7 +11,10 @@ Behavioral parity with CogVideoXI2VDualInpaintAnyLPipeline
    each window and fed to the next window's attention as
    prev_hidden_states/prev_resample_mask/prev_clip_weight (:962-988)
  - latent frame accumulator averaged across overlapping windows (:833-841,
-   :1052-1069), then ONE VAE decode (:1071-1072)
+   :1052-1069), then ONE VAE decode (:1071-1072) — or, with
+   stream_decode=True, a bit-identical per-window streaming decode that
+   overlaps window-i decode with window-i+1 denoise (optionally on a second
+   chip via vae_device; beyond the reference, which decodes serially)
 
 TPU-native: the window loop is host-level Python (window count is data
 dependent); every window reuses the same jitted denoise scan, so there is one
@@ -66,6 +69,9 @@ class CogVideoXI2VDualInpaintAnyLPipeline(CogVideoXI2VDualInpaintPipeline):
         use_flash: bool = False,
         seq_axis: Optional[str] = None,
         ring_mesh=None,
+        stream_decode: bool = False,
+        vae_device=None,
+        progress_fn=None,   # called with (done_steps, total_steps) across windows
         dtype=jnp.float32,
     ):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -114,7 +120,30 @@ class CogVideoXI2VDualInpaintAnyLPipeline(CogVideoXI2VDualInpaintPipeline):
             wo_text=wo_text, id_pool_resample=id_pool_resample,
             is_dpm=isinstance(self.scheduler, CogVideoXDPMScheduler),
             use_flash=use_flash, seq_axis=seq_axis, ring_mesh=ring_mesh,
+            with_progress=progress_fn is not None,
             mode=self._mode)
+
+        def window_start(w: int) -> int:
+            if w == 0:
+                return 0
+            if stride < num_frames:
+                return w * t_lat - (overlap_lat + 1) * w
+            return w * t_lat - w
+
+        # streaming decode: frames before the next window's start are final
+        # after this window, so decode them NOW — the decode dispatches overlap
+        # the next window's denoise (run the VAE on `vae_device` to overlap on
+        # real hardware; emitted frames are bit-identical to the one-shot path,
+        # see AutoencoderKLCogVideoX.stream_decoder).
+        streamer = None
+        decoded_chunks = []
+        emitted = 0
+        if stream_decode and output_type != "latent":
+            vae_params = params["vae"]
+            if vae_device is not None:
+                vae_params = jax.device_put(vae_params, vae_device)
+            streamer = self.vae.stream_decoder({"decoder": vae_params["decoder"]},
+                                               num_frame_latents)
 
         prev_state: Optional[Dict[str, Any]] = None
         latents = None
@@ -147,9 +176,19 @@ class CogVideoXI2VDualInpaintAnyLPipeline(CogVideoXI2VDualInpaintPipeline):
             dcfg = dc_replace(base_dcfg, capture_hidden_states=capture)
             denoise = self._get_denoise(dcfg, timesteps)
 
+            if progress_fn is not None:
+                base_done = window_idx * len(timesteps)
+                total = n_windows * len(timesteps)
+                self._progress_cell[0] = \
+                    lambda i, b=base_done, t=total: progress_fn(b + i + 1, t)
             rng, k = jax.random.split(rng)
-            latents, hs_list, resample_mask = denoise(params, inputs, rope, k,
-                                                      prev_state)
+            try:
+                latents, hs_list, resample_mask = denoise(params, inputs, rope,
+                                                          k, prev_state)
+                if progress_fn is not None:
+                    latents = jax.block_until_ready(latents)
+            finally:
+                self._progress_cell[0] = None
             if capture:
                 prev_state = {
                     "prev_hidden_states": hs_list,
@@ -158,21 +197,36 @@ class CogVideoXI2VDualInpaintAnyLPipeline(CogVideoXI2VDualInpaintPipeline):
                 }
 
             # accumulate into the global latent timeline (:1052-1064)
-            if window_idx == 0:
-                start = 0
-            elif stride < num_frames:
-                start = window_idx * t_lat - (overlap_lat + 1) * window_idx
-            else:
-                start = window_idx * t_lat - window_idx
+            start = window_start(window_idx)
             accumulator = accumulator.at[:, start:start + t_lat].add(latents.astype(dtype))
             counts[start:start + t_lat] += 1
+
+            if streamer is not None:
+                final_upto = (num_frame_latents if window_idx == n_windows - 1
+                              else window_start(window_idx + 1))
+                if final_upto > emitted:
+                    chunk = accumulator[:, emitted:final_upto] / jnp.asarray(
+                        np.maximum(counts[emitted:final_upto], 1.0)
+                    )[None, :, None, None, None]
+                    chunk = chunk / self.vae.cfg.scaling_factor
+                    if vae_device is not None:
+                        chunk = jax.device_put(chunk, vae_device)
+                    frames = streamer.feed(chunk)
+                    if frames is not None:
+                        decoded_chunks.append(frames)
+                    emitted = final_upto
 
         accumulator = accumulator / jnp.asarray(np.maximum(counts, 1.0))[None, :, None, None, None]
 
         if output_type == "latent":
             return accumulator
-        video_out = self.vae.decode(params["vae"],
-                                    accumulator / self.vae.cfg.scaling_factor)
+        if streamer is not None:
+            # chunks may live on vae_device — gather host-side
+            video_out = jnp.asarray(np.concatenate(
+                [np.asarray(c) for c in decoded_chunks], axis=1))
+        else:
+            video_out = self.vae.decode(params["vae"],
+                                        accumulator / self.vae.cfg.scaling_factor)
         if output_type == "np":
             return np.asarray(jnp.clip(video_out, -1, 1))
         return video_out

@@ -35,12 +35,21 @@ class CogVideoXDualInpaintPipeline(CogVideoXI2VDualInpaintPipeline):
 
 class CogVideoXSFTInpaintPipeline(CogVideoXI2VDualInpaintPipeline):
     """Full-backbone-finetune baseline: widened patch embed eats
-    [noisy ‖ masked ‖ mask]; no branch."""
+    [noisy ‖ masked ‖ mask]; no branch.
+
+    NOTE: the reference computes `init_latents_proper`/`init_mask` each step
+    but never applies the blend (pipeline_..._sft.py:890-904 is dead code),
+    so this class pins replace_gt=False for parity.
+    """
 
     _mode = "sft"
 
     def __init__(self, transformer, vae, scheduler, text_encoder=None):
         super().__init__(transformer, None, vae, scheduler, text_encoder)
+
+    def __call__(self, params, **kw):
+        kw["replace_gt"] = False
+        return super().__call__(params, **kw)
 
 
 class CogVideoXI2VInpaintAnyLPipeline(CogVideoXI2VDualInpaintAnyLPipeline):
@@ -56,30 +65,54 @@ class CogVideoXI2VInpaintAnyLPipeline(CogVideoXI2VDualInpaintAnyLPipeline):
 class CogVideoXSelfGuidanceInpaintPipeline(CogVideoXI2VDualInpaintPipeline):
     """Training-free baseline: per step, a second forward on noised
     masked-video latents caches per-layer hidden states which are mask-swapped
-    into the main pass (reference :852-880)."""
+    into the main pass (reference :852-880).
+
+    Reference fixed semantics (pinned here): latents start from the NOISED
+    MASKED-video latents (:838-840) and every step blends against the
+    re-noised masked-video latents unconditionally (:908-925). The reference
+    loop is shape-inconsistent under CFG (its [2B] masked latents get doubled
+    again at :846/:853), so parity holds for guidance_scale <= 1.
+    """
 
     _mode = "selfguidance"
 
     def __init__(self, transformer, vae, scheduler, text_encoder=None):
         super().__init__(transformer, None, vae, scheduler, text_encoder)
 
+    def __call__(self, params, **kw):
+        kw["replace_gt"] = True
+        return super().__call__(params, **kw)
+
 
 class CogVideoXInpaintPipeline(CogVideoXI2VDualInpaintPipeline):
-    """Plain latent-blending baseline: bare backbone + replace_gt blending."""
+    """Plain latent-blending baseline: bare backbone + unconditional blend
+    against the re-noised clean video latents
+    (pipeline_cogvideox_inpainting.py:900-916)."""
 
     _mode = "plain"
 
     def __init__(self, transformer, vae, scheduler, text_encoder=None):
         super().__init__(transformer, None, vae, scheduler, text_encoder)
+
+    def __call__(self, params, **kw):
+        kw["replace_gt"] = True
+        return super().__call__(params, **kw)
 
 
 class CogVideoXImageToVideoInpaintPipeline(CogVideoXI2VDualInpaintPipeline):
-    """Older I2V inpainting variant: image conditioning + latent blending."""
+    """Older I2V inpainting variant: image conditioning (first-frame latents
+    concatenated on channel, :975-976) + unconditional blend against the
+    re-noised clean video latents
+    (pipeline_cogvideox_image2video_inpainting.py:1015-1028)."""
 
     _mode = "plain"
 
     def __init__(self, transformer, vae, scheduler, text_encoder=None):
         super().__init__(transformer, None, vae, scheduler, text_encoder)
+
+    def __call__(self, params, **kw):
+        kw["replace_gt"] = True
+        return super().__call__(params, **kw)
 
 
 # ---------------------------------------------------------------------------
