@@ -37,18 +37,16 @@ def test_amg_behavioral_parity(goldens):
     anns = amg.generate(g["io::img"])
     n_ref = int(g["n_masks"])
     assert anns, "no masks generated"
-    # counts within 25% (NMS tie-breaking on near-identical scores may differ)
-    assert abs(len(anns) - n_ref) <= max(2, n_ref // 4), (len(anns), n_ref)
-    # the highest-scoring torch masks must have close counterparts; tiny
-    # near-tie masks (a few pixels) may differ on NMS tie-breaking
-    matched = 0
+    # FULL SET equality: same survivor count, and the i-th survivor (NMS keeps
+    # score-descending order, index tiebreak = torchvision batched_nms) must
+    # be the i-th torch mask. Masks are compared by IoU (cross-framework
+    # logits near 0 may flip individual boundary pixels).
+    assert len(anns) == n_ref, (len(anns), n_ref)
     for i in range(n_ref):
         ref_m = g[f"mask::{i}"] > 0
         ref_iou = float(g[f"iou::{i}"])
-        best = max(anns, key=lambda a: mask_iou(a["segmentation"], ref_m))
-        ok = (mask_iou(best["segmentation"], ref_m) > 0.95
-              and abs(best["predicted_iou"] - ref_iou) < 1e-3)
-        matched += ok
-        if i < 3:
-            assert ok, f"top mask {i} unmatched"
-    assert matched >= max(3, int(0.6 * n_ref)), f"only {matched}/{n_ref} matched"
+        ref_stab = float(g[f"stab::{i}"])
+        a = anns[i]
+        assert mask_iou(a["segmentation"], ref_m) > 0.99, f"mask {i} differs"
+        assert abs(a["predicted_iou"] - ref_iou) < 1e-3, f"iou {i}"
+        assert abs(a["stability_score"] - ref_stab) < 1e-2, f"stability {i}"

@@ -141,8 +141,63 @@ def _box_iou(a, b):
     return inter / area if area > 0 else 0.0
 
 
+def _remove_small_regions(mask: np.ndarray, area_thresh: int, mode: str):
+    """sam2/utils/amg.py remove_small_regions: fill small holes or drop small
+    islands (8-connectivity, native CC kernel instead of cv2)."""
+    from ..native import get_connected_components
+
+    correct_holes = mode == "holes"
+    working = (mask ^ correct_holes).astype(np.uint8)[None, None]
+    labels, areas = get_connected_components(working)
+    labels, areas = labels[0, 0], areas[0, 0]
+    fg = working[0, 0] > 0
+    small = fg & (areas < area_thresh)
+    if not small.any():
+        return mask, False
+    if correct_holes:
+        # fill small background components into the mask
+        return mask | small, True
+    # islands mode: keep only large foreground components (if none survive,
+    # keep the largest island — reference fallback)
+    keep = fg & ~small
+    if not keep.any():
+        flat_lab = labels[fg]
+        flat_area = areas[fg]
+        best = flat_lab[np.argmax(flat_area)]
+        keep = labels == best
+    return keep, True
+
+
+def _nms_keep(boxes: List[np.ndarray], scores: List[float], thresh: float) -> List[int]:
+    """torchvision.ops.nms semantics: score-descending greedy (index tiebreak),
+    suppress IoU strictly greater than thresh."""
+    order = sorted(range(len(boxes)), key=lambda i: (-scores[i], i))
+    kept: List[int] = []
+    for i in order:
+        if all(_box_iou(boxes[i], boxes[j]) <= thresh for j in kept):
+            kept.append(i)
+    return kept
+
+
+def _box_xyxy_to_xywh(box):
+    return [float(box[0]), float(box[1]),
+            float(box[2] - box[0]), float(box[3] - box[1])]
+
+
 class SAM2AutomaticMaskGenerator:
-    """Grid-prompted mask proposals with quality filtering + box NMS."""
+    """Grid-prompted mask proposals with quality filtering + box NMS.
+
+    Exact-parity notes vs app/sam2/automatic_mask_generator.py:
+     - candidate order is point-major then mask-index (build_point_grid is
+       row-major y-outer/x-inner; _process_batch flattens (points, masks))
+     - pred_iou filter is strictly `>` and only applied when thresh > 0 (:312)
+     - NMS is torchvision batched_nms with one category: score-descending,
+       index tiebreak, suppression strictly `iou > thresh`
+     - min_mask_region_area triggers postprocess_small_regions (:186-190):
+       fill holes < area, drop islands < area, re-NMS preferring unchanged
+       masks (score 1 vs 0)
+     - ann dict uses XYWH bbox + crop_box like write_mask_data
+    """
 
     def __init__(self, predictor: SAM2ImagePredictor,
                  cfg: AutoMaskConfig = AutoMaskConfig()):
@@ -165,29 +220,72 @@ class SAM2AutomaticMaskGenerator:
                     multimask_output=True, return_logits=True)
                 masks = logits > 0.0
                 for k in range(masks.shape[0]):
-                    if ious[k] < self.cfg.pred_iou_thresh:
+                    if self.cfg.pred_iou_thresh > 0.0 and \
+                            not (ious[k] > self.cfg.pred_iou_thresh):
                         continue
                     # stability from the high-res logits (amg.py
                     # calculate_stability_score on the model-threshold masks)
                     stab = _stability_score(logits[k], self.cfg.stability_offset)
-                    if stab < self.cfg.stability_score_thresh:
+                    if self.cfg.stability_score_thresh > 0.0 and \
+                            stab < self.cfg.stability_score_thresh:
                         continue
                     box = _mask_to_box(masks[k])
                     if box is None:
-                        continue
-                    area = int(masks[k].sum())
-                    if area < self.cfg.min_mask_region_area:
-                        continue
+                        # empty mask -> batched_mask_to_box yields [0,0,0,0]
+                        box = np.zeros(4, np.float32)
                     candidates.append({"segmentation": masks[k],
                                        "predicted_iou": float(ious[k]),
                                        "stability_score": stab,
-                                       "bbox": box, "area": area,
+                                       "box": box,
                                        "point_coords": [[float(x), float(y)]]})
-        # box NMS by predicted iou
-        candidates.sort(key=lambda c: -c["predicted_iou"])
-        kept: List[dict] = []
-        for c in candidates:
-            if all(_box_iou(c["bbox"], k["bbox"]) < self.cfg.box_nms_thresh
-                   for k in kept):
-                kept.append(c)
-        return kept
+        keep = _nms_keep([c["box"] for c in candidates],
+                         [c["predicted_iou"] for c in candidates],
+                         self.cfg.box_nms_thresh)
+        kept = [candidates[i] for i in keep]
+
+        if self.cfg.min_mask_region_area > 0:
+            kept = self._postprocess_small_regions(
+                kept, self.cfg.min_mask_region_area, self.cfg.box_nms_thresh)
+
+        anns = []
+        for c in kept:
+            anns.append({"segmentation": c["segmentation"],
+                         "area": int(c["segmentation"].sum()),
+                         "bbox": _box_xyxy_to_xywh(c["box"]),
+                         "predicted_iou": c["predicted_iou"],
+                         "point_coords": c["point_coords"],
+                         "stability_score": c["stability_score"],
+                         "crop_box": [0.0, 0.0, float(w), float(h)]})
+        return anns
+
+    @staticmethod
+    def _postprocess_small_regions(kept: List[dict], min_area: int,
+                                   nms_thresh: float) -> List[dict]:
+        """amg postprocess_small_regions (:367-414): repair each mask, then
+        NMS with score 1 for unchanged / 0 for changed masks so unchanged
+        masks win duplicates."""
+        if not kept:
+            return kept
+        new_masks, scores = [], []
+        for c in kept:
+            m = c["segmentation"].copy()
+            m, changed = _remove_small_regions(m, min_area, mode="holes")
+            unchanged = not changed
+            m, changed = _remove_small_regions(m, min_area, mode="islands")
+            unchanged = unchanged and not changed
+            new_masks.append(m)
+            scores.append(float(unchanged))
+        boxes = []
+        for m in new_masks:
+            b = _mask_to_box(m)
+            boxes.append(np.zeros(4, np.float32) if b is None else b)
+        keep = _nms_keep(boxes, scores, nms_thresh)
+        out = []
+        for i in keep:
+            c = kept[i]
+            if scores[i] == 0.0:  # changed: update mask + box
+                c = dict(c)
+                c["segmentation"] = new_masks[i]
+                c["box"] = boxes[i]
+            out.append(c)
+        return out
