@@ -37,7 +37,8 @@ def default_llm(instruction: str, caption: str):
 
 def generate_edit(args, instruction: str,
                   llm_fn: Optional[Callable] = None,
-                  first_frame_edit_fn: Optional[Callable] = None):
+                  first_frame_edit_fn: Optional[Callable] = None,
+                  tag: Optional[str] = None):
     import jax
     import jax.numpy as jnp
 
@@ -62,12 +63,21 @@ def generate_edit(args, instruction: str,
         first = first_frame_edit_fn(video01[0], masks_f[0], frame_desc)
         masks_f[0] = 0.0  # edited frame 0 becomes the conditioning GT
 
+    if args.prompt_embeds:
+        # precomputed-embeds path (no local T5) — same fallback as inpaint.py
+        from ..models.text_encoder import load_prompt_embeds
+        embeds = jnp.asarray(load_prompt_embeds(args.prompt_embeds))
+        emb_kw = dict(prompt_embeds=embeds,
+                      negative_prompt_embeds=jnp.zeros_like(embeds))
+    else:
+        emb_kw = dict(prompt=edited_caption,
+                      negative_prompt=args.negative_prompt)
+
     out = pipe(params,
                image=jnp.asarray(first)[None] * 2 - 1,
                video=jnp.asarray(video01)[None] * 2 - 1,
                masks=jnp.asarray(masks_f)[None],
-               num_frames=num_frames, stride=stride,
-               prompt=edited_caption, negative_prompt=args.negative_prompt,
+               num_frames=num_frames, stride=stride, **emb_kw,
                num_inference_steps=args.num_inference_steps,
                guidance_scale=args.guidance_scale, use_dynamic_cfg=True,
                replace_gt=args.replace_gt, mask_add=args.mask_add,
@@ -77,14 +87,17 @@ def generate_edit(args, instruction: str,
     out01 = (np.asarray(out)[0] / 2 + 0.5).clip(0, 1)
 
     os.makedirs(args.output_path, exist_ok=True)
-    dst = os.path.join(args.output_path, f"edit_{args.video_id}.mp4")
+    stem = f"edit_{args.video_id}" + (f"_{tag}" if tag else "")
+    dst = os.path.join(args.output_path, f"{stem}.mp4")
     masked01 = video01[: len(out01)] * (1 - masks_f[: len(out01)][..., None])
     export_side_by_side(video01[: len(out01)], masked01, out01, dst, args.fps)
-    with open(os.path.join(args.output_path,
-                           f"edit_{args.video_id}.json"), "w") as f:
-        json.dump({"instruction": instruction, "caption": caption,
-                   "edited_caption": edited_caption,
-                   "first_frame_description": frame_desc}, f, indent=2)
+    with open(os.path.join(args.output_path, f"{stem}.json"), "w") as f:
+        # instruction-metadata schema of the reference (infer/edit.py:491-498)
+        json.dump({"Original_video_caption": caption,
+                   "Edited_video_caption": edited_caption,
+                   "Edited_image_caption": frame_desc,
+                   "Editing_instruction": instruction}, f, indent=4,
+                  ensure_ascii=False)
     print(f"wrote {dst}")
     return out01
 
@@ -94,7 +107,9 @@ def run_edit_bench(args, instructions_per_video: dict,
                    generate_instructions_fn: Optional[Callable] = None):
     """Batch editing over a benchmark CSV (reference edit_bench.py). If
     `generate_instructions_fn(video, caption) -> list[str]` is given it mass-
-    produces instructions per sample (reference :240-280)."""
+    produces instructions per sample (reference :240-280, where GPT-4o looks
+    at the masked first frame). Writes one side-by-side mp4 + one
+    instruction-metadata JSON per (sample, instruction)."""
     import pandas as pd
 
     df = pd.read_csv(args.meta_file_path)
@@ -108,13 +123,47 @@ def run_edit_bench(args, instructions_per_video: dict,
                 args.width, args.fps)
             instrs = generate_instructions_fn(video_u8, caption)
         for j, instr in enumerate(instrs or []):
-            out = generate_edit(args, instr, llm_fn, first_frame_edit_fn)
+            out = generate_edit(args, instr, llm_fn, first_frame_edit_fn,
+                                tag=str(j) if len(instrs) > 1 else None)
             results[(vid, j)] = out.shape
     return results
 
 
-if __name__ == "__main__":
+def edit_bench_main(argv=None, llm_fn=None, first_frame_edit_fn=None,
+                    generate_instructions_fn=None):
+    """CSV-sweep CLI (reference infer/edit_bench.py / edit_bench.sh):
+
+      python -m videopainter_tpu.infer.edit --bench \\
+          --meta_file_path bench.csv --instructions_json instrs.json ...
+
+    instructions_json maps video_id (str) -> list of instructions; samples
+    absent from the mapping fall back to `generate_instructions_fn` (a VLM in
+    the reference; pluggable here — zero egress) or --default_instruction.
+    """
     ap = argparse.ArgumentParser(add_help=False)
-    ap.add_argument("--instruction", required=True)
-    known, rest = ap.parse_known_args()
-    generate_edit(get_args(rest), known.instruction)
+    ap.add_argument("--bench", action="store_true")
+    ap.add_argument("--instruction", default=None)
+    ap.add_argument("--instructions_json", default=None)
+    ap.add_argument("--default_instruction", default=None)
+    known, rest = ap.parse_known_args(argv)
+    args = get_args(rest)
+
+    if not known.bench:
+        if known.instruction is None:
+            raise SystemExit("--instruction is required without --bench")
+        return generate_edit(args, known.instruction, llm_fn,
+                             first_frame_edit_fn)
+
+    instrs = {}
+    if known.instructions_json:
+        with open(known.instructions_json) as f:
+            instrs = {int(k): v for k, v in json.load(f).items()}
+    if generate_instructions_fn is None and known.default_instruction:
+        generate_instructions_fn = \
+            lambda video, caption: [known.default_instruction]  # noqa: E731
+    return run_edit_bench(args, instrs, llm_fn, first_frame_edit_fn,
+                          generate_instructions_fn)
+
+
+if __name__ == "__main__":
+    edit_bench_main()
