@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--skip-vae", action="store_true")
     ap.add_argument("--fuse-qkv", action="store_true",
                     help="fold q/k/v projections into one [D,3D] matmul")
+    ap.add_argument("--int8", action="store_true",
+                    help="W8A8 int8 block projections (opt-in fast mode, "
+                         "~1%% relative output error; videopainter_tpu.quantize)")
     args = ap.parse_args()
 
     import jax
@@ -105,6 +108,10 @@ def main():
         from videopainter_tpu.ops.attention import fuse_qkv_projections
 
         params = {k: fuse_qkv_projections(v) for k, v in params.items()}
+    if args.int8:
+        from videopainter_tpu.quantize import quantize_transformer_int8
+
+        params = {k: quantize_transformer_int8(v) for k, v in params.items()}
 
     B = 1
     lat_shape = (B, T_lat, H_lat, W_lat, 16)
@@ -220,6 +227,12 @@ def main():
             "step_ms_measured": round(step_time * 1e3, 1),
             "layers_measured": cfg.num_layers,
             "cfg_mode": "sequential" if args.seq_cfg else "batched",
+            "int8": args.int8,
+            # flash block sweep history (round 1, S=17776 d=64): best 512x2048
+            # @ ~55-61 TF/s; tried 256x1024/512x1024/512x4096/808x1616/
+            # 1024x2048 (slower), 1024x4096/2048x2048/1616x1616 (fail compile/
+            # VMEM). Do NOT re-sweep; d=64 MXU underfill caps ~98 TF/s.
+            "flash_blocks": "512x2048 (swept r1, see note)",
             "step_ms_extrapolated_42L": round(full_step_time * 1e3, 1),
             "vae_decode_s": round(decode_time, 2),
             "vae_decode_fps": round(49.0 / decode_time, 1) if decode_time else None,

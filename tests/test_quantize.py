@@ -1,0 +1,63 @@
+"""Int8 W8A8 quantization: linear-level exactness properties and model-level
+closeness. Opt-in fast path (beyond reference) — not parity-exact by design.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videopainter_tpu.config import TransformerConfig
+from videopainter_tpu.models import CogVideoXTransformer3D
+from videopainter_tpu.ops.basic import linear, quantize_linear_int8
+from videopainter_tpu.quantize import quantize_transformer_int8
+
+
+def test_linear_int8_close():
+    rng = np.random.RandomState(0)
+    p = {"kernel": jnp.asarray(rng.randn(64, 48).astype(np.float32)) * 0.05,
+         "bias": jnp.asarray(rng.randn(48).astype(np.float32)) * 0.01}
+    x = jnp.asarray(rng.randn(7, 64).astype(np.float32))
+    ref = linear(p, x)
+    q = quantize_linear_int8(p)
+    assert q["kernel_q"].dtype == jnp.int8 and q["kernel_q"].shape == (64, 48)
+    assert q["kscale"].shape == (48,)
+    got = linear(q, x)
+    # w8a8 with per-channel/per-token scales: ~1% error vs typical magnitude
+    err = np.abs(np.asarray(got - ref)).mean() / np.abs(np.asarray(ref)).mean()
+    assert err < 0.02, err
+
+
+def test_linear_int8_stacked_matches_per_layer():
+    """Quantizing a scan-stacked [L, in, out] kernel == quantizing each layer."""
+    rng = np.random.RandomState(1)
+    w = jnp.asarray(rng.randn(3, 16, 8).astype(np.float32))
+    stacked = quantize_linear_int8({"kernel": w})
+    for i in range(3):
+        single = quantize_linear_int8({"kernel": w[i]})
+        np.testing.assert_array_equal(np.asarray(stacked["kernel_q"][i]),
+                                      np.asarray(single["kernel_q"]))
+        np.testing.assert_allclose(np.asarray(stacked["kscale"][i]),
+                                   np.asarray(single["kscale"]))
+
+
+def test_transformer_int8_forward_close():
+    cfg = TransformerConfig.tiny(in_channels=16, out_channels=16,
+                                 sample_height=8, sample_width=12)
+    t = CogVideoXTransformer3D(cfg)
+    params = t.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 8, 12, 16))
+    emb = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 12))
+    ts = jnp.zeros((1,), jnp.int32)
+    ref = t.apply(params, x, emb, ts).sample
+
+    qparams = quantize_transformer_int8(params)
+    # embeddings/norms/head untouched; block projections rewritten
+    assert "kernel_q" in qparams["blocks"]["attn1"]["to_q"]
+    assert "kernel" in qparams["patch_embed"]["proj"]
+    assert "kernel" in qparams["proj_out"]
+    got = t.apply(qparams, x, emb, ts).sample
+
+    ref_n, got_n = np.asarray(ref), np.asarray(got)
+    cos = (ref_n * got_n).sum() / (np.linalg.norm(ref_n) * np.linalg.norm(got_n))
+    assert cos > 0.995, cos
+    assert np.abs(got_n - ref_n).mean() < 0.05 * np.abs(ref_n).mean() + 1e-3
