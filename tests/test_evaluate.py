@@ -149,3 +149,71 @@ def test_harness_end_to_end(tmp_path):
     summary2 = run_inpainting_eval(pipe, params, dataset, ecfg,
                                    encode_prompt_fn=encode)
     assert time.time() - t0 < 5.0
+
+
+# ---------------------------------------------------------------------------
+# flow utilities (reference flow_util.py parity)
+# ---------------------------------------------------------------------------
+
+def test_flow_io_roundtrip(tmp_path):
+    from videopainter_tpu.evaluate.flow_util import flowread, flowwrite
+
+    rng = np.random.RandomState(0)
+    flow = rng.randn(12, 16, 2).astype(np.float32) * 3
+    p = str(tmp_path / "a.flo")
+    flowwrite(flow, p)
+    got = flowread(p)
+    # reference writes a float16 payload (:62, :92)
+    np.testing.assert_allclose(got, flow.astype(np.float16).astype(np.float32))
+
+
+def test_flow_quantized_roundtrip(tmp_path):
+    import pytest
+
+    pytest.importorskip("cv2")
+    from videopainter_tpu.evaluate.flow_util import flowread, flowwrite
+
+    rng = np.random.RandomState(1)
+    flow = rng.uniform(-0.01, 0.01, (8, 10, 2)).astype(np.float32)
+    flow[..., 0] *= 10  # dx normalized by width
+    flow[..., 1] *= 8
+    p = str(tmp_path / "q.png")
+    flowwrite(flow, p, quantize_pair=True)
+    got = flowread(p, quantize_pair=True)
+    assert got.shape == flow.shape
+    # 255-level quantization of [-0.02, 0.02]-normalized flow
+    assert np.abs(got - flow).mean() < 0.05
+
+
+def test_resize_flow_scales_magnitude():
+    import pytest
+
+    pytest.importorskip("cv2")
+    from videopainter_tpu.evaluate.flow_util import resize_flow
+
+    flow = np.ones((8, 10, 2), np.float32)
+    out = resize_flow(flow, 16, 30)
+    assert out.shape == (16, 30, 2)
+    np.testing.assert_allclose(out[..., 0], 3.0, rtol=1e-5)
+    np.testing.assert_allclose(out[..., 1], 2.0, rtol=1e-5)
+
+
+def test_metrics_calculator_flow_warping():
+    from videopainter_tpu.evaluate.metrics import MetricsCalculator
+
+    rng = np.random.RandomState(2)
+    video = np.repeat(rng.rand(1, 8, 12, 3), 4, axis=0).astype(np.float32)
+
+    calls = []
+
+    def zero_flow(f0, f1):
+        calls.append(1)
+        return np.zeros((*f0.shape[:2], 2), np.float32)
+
+    mc = MetricsCalculator(flow_fn=zero_flow)
+    masks = np.ones((4, 8, 12), np.float32)
+    out = mc.video_metrics(video, masks=masks)
+    # static video + zero flow -> exactly zero warping error
+    assert out["flow_warping_error"] == 0.0
+    assert out["masked_flow_warping_error"] == 0.0
+    assert len(calls) == 6  # 3 frame pairs x (global + masked)

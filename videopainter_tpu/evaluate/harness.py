@@ -139,7 +139,8 @@ def run_inpainting_eval(pipe, params, dataset: Iterable[Dict],
         vid_metrics = {k: float(np.mean([fr[k] for fr in frame_rows
                                          if np.isfinite(fr[k])]))
                        for k in frame_rows[0]}
-        vid_metrics.update(metrics.video_metrics(pred01))
+        vid_metrics.update(metrics.video_metrics(pred01,
+                                                 masks=masks[: len(pred01)]))
         metrics.accumulate_fvid(pred01, video01[: len(pred01)])
         vid_metrics["time_per_frame_s"] = gen_time / len(pred01)
         vid_metrics["name"] = name

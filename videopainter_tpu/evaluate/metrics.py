@@ -128,11 +128,13 @@ class MetricsCalculator:
                  image_embed_fn: Optional[Callable] = None,
                  text_image_score_fn: Optional[Callable] = None,
                  lpips_fn: Optional[Callable] = None,
-                 video_feature_fn: Optional[Callable] = None):
+                 video_feature_fn: Optional[Callable] = None,
+                 flow_fn: Optional[Callable] = None):
         self.image_embed_fn = image_embed_fn
         self.text_image_score_fn = text_image_score_fn
         self.lpips_fn = lpips_fn
         self.video_feature_fn = video_feature_fn
+        self.flow_fn = flow_fn  # (frame0, frame1) -> [H, W, 2] (RAFT et al.)
         self._fvid_real: List[np.ndarray] = []
         self._fvid_fake: List[np.ndarray] = []
 
@@ -162,11 +164,20 @@ class MetricsCalculator:
         return out
 
     # -- per-video -----------------------------------------------------------
-    def video_metrics(self, pred_video: np.ndarray) -> Dict[str, float]:
+    def video_metrics(self, pred_video: np.ndarray,
+                      masks: Optional[np.ndarray] = None) -> Dict[str, float]:
         out = {}
         if self.image_embed_fn is not None:
             embeds = np.stack([self.image_embed_fn(f) for f in pred_video])
             out["temporal_consistency"] = temporal_consistency(embeds)
+        if self.flow_fn is not None:
+            from .flow_util import flow_warping_error
+
+            out["flow_warping_error"] = flow_warping_error(pred_video,
+                                                           self.flow_fn)
+            if masks is not None:
+                out["masked_flow_warping_error"] = flow_warping_error(
+                    pred_video, self.flow_fn, masks=masks)
         return out
 
     def accumulate_fvid(self, pred_video: np.ndarray, gt_video: np.ndarray) -> None:
