@@ -217,3 +217,65 @@ def test_metrics_calculator_flow_warping():
     assert out["flow_warping_error"] == 0.0
     assert out["masked_flow_warping_error"] == 0.0
     assert len(calls) == 6  # 3 frame pairs x (global + masked)
+
+
+def test_harness_caption_hook(tmp_path):
+    """Empty-caption samples go through caption_fn (the CogVLM2 captioner
+    hook, reference evaluate/metrics.py:621-725) and the generated caption
+    reaches the CLIP-score path."""
+    import jax
+    import jax.numpy as jnp
+
+    from videopainter_tpu.config import (BranchConfig, SchedulerConfig,
+                                         TransformerConfig, VAEConfig)
+    from videopainter_tpu.evaluate import (EvalConfig, MetricsCalculator,
+                                           run_inpainting_eval)
+    from videopainter_tpu.models import (AutoencoderKLCogVideoX, CogVideoXBranch,
+                                         CogVideoXTransformer3D)
+    from videopainter_tpu.pipelines import CogVideoXI2VDualInpaintAnyLPipeline
+    from videopainter_tpu.schedulers import CogVideoXDPMScheduler
+
+    cfg = TransformerConfig.tiny(in_channels=32, out_channels=16,
+                                 sample_height=8, sample_width=12)
+    transformer = CogVideoXTransformer3D(cfg)
+    branch = CogVideoXBranch(BranchConfig.from_transformer(cfg, num_layers=2))
+    vae = AutoencoderKLCogVideoX(VAEConfig.tiny(latent_channels=16))
+    params = {"transformer": transformer.init(jax.random.PRNGKey(0)),
+              "vae": vae.init(jax.random.PRNGKey(1))}
+    params["branch"] = branch.init_from_transformer(jax.random.PRNGKey(2),
+                                                    params["transformer"], cfg)
+    pipe = CogVideoXI2VDualInpaintAnyLPipeline(
+        transformer, branch, vae,
+        CogVideoXDPMScheduler(SchedulerConfig.cogvideox_5b_inference()))
+
+    rng = np.random.RandomState(3)
+    video = (rng.rand(9, 64, 96, 3) * 255).astype(np.uint8)
+    masks = np.zeros((9, 64, 96), np.uint8)
+    masks[:, 20:40, 30:60] = 1
+    dataset = [{"name": "nocap", "video": video, "masks": masks, "caption": ""}]
+
+    captioner_calls = []
+
+    def fake_captioner(video_u8, masks_u8):
+        captioner_calls.append((video_u8.shape, masks_u8.shape))
+        return "a synthetic caption"
+
+    scored_captions = []
+
+    def fake_clip_score(image, text):
+        scored_captions.append(text)
+        return 0.5
+
+    embeds = jnp.asarray(rng.rand(1, 5, 12).astype(np.float32))
+    summary = run_inpainting_eval(
+        pipe, params, dataset,
+        EvalConfig(output_dir=str(tmp_path), num_inference_steps=2,
+                   num_frames=9, replace_gt=True, mask_add=True),
+        metrics=MetricsCalculator(text_image_score_fn=fake_clip_score),
+        encode_prompt_fn=lambda p: (embeds, jnp.zeros_like(embeds)),
+        caption_fn=fake_captioner)
+
+    assert captioner_calls == [((9, 64, 96, 3), (9, 64, 96))]
+    assert scored_captions and all(c == "a synthetic caption"
+                                   for c in scored_captions)
+    assert np.isfinite(summary["clip_score"])

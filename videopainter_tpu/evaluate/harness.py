@@ -66,9 +66,14 @@ class EvalConfig:
 def run_inpainting_eval(pipe, params, dataset: Iterable[Dict],
                         cfg: EvalConfig,
                         metrics: Optional[MetricsCalculator] = None,
-                        encode_prompt_fn=None) -> Dict[str, float]:
+                        encode_prompt_fn=None,
+                        caption_fn=None) -> Dict[str, float]:
     """Evaluate `pipe` (an AnyL pipeline) over `dataset` rows
     {name, video [T,H,W,3] uint8, masks [T,H,W] {0,1}, caption}.
+
+    caption_fn(video_u8, masks) -> str fills in captions for samples that
+    have none — the reference runs a CogVLM2 captioner here
+    (evaluate/metrics.py:621-725); external 19B model, so pluggable.
 
     Returns the corpus-average metric dict; writes results.csv incrementally.
     """
@@ -93,6 +98,10 @@ def run_inpainting_eval(pipe, params, dataset: Iterable[Dict],
         if cfg.resume and name in done and os.path.isdir(comp_dir):
             n_done += 1
             continue
+
+        if caption_fn is not None and not sample.get("caption"):
+            sample = dict(sample)
+            sample["caption"] = caption_fn(sample["video"], sample["masks"])
 
         video01 = sample["video"].astype(np.float32) / 255.0
         masks = sample["masks"].astype(np.float32)
