@@ -65,17 +65,35 @@ def _linear_int8(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     return y.astype(orig)
 
 
+def _quantize_kernel_int8(w):
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=False)
+    scale = jnp.where(amax > 0, amax / 127.0, jnp.float32(1.0))
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale[..., None, :]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+@jax.jit
+def _quantize_stacked_int8(w):
+    # layer-at-a-time: the f32 temporaries of a 42-layer [L, 3072, 12288]
+    # stack would otherwise coexist with the resident bf16 params (6+ GiB on
+    # a chip that is already ~70% full of weights)
+    return jax.lax.scan(lambda _, wi: (None, _quantize_kernel_int8(wi)),
+                        None, w)[1]
+
+
 def quantize_linear_int8(p: dict) -> dict:
     """Linear params -> int8 weights + per-out-channel scales.
 
     Works on plain [in, out] kernels and scan-stacked [L, in, out] kernels
-    (the reduction runs over the `in` axis either way, so a per-layer slice
-    of the stacked result is exactly the per-layer quantization).
+    (the reduction runs over the `in` axis either way; stacked kernels are
+    quantized one layer at a time to bound the f32 temporaries).
     """
-    w = p["kernel"].astype(jnp.float32)
-    amax = jnp.max(jnp.abs(w), axis=-2, keepdims=False)
-    scale = jnp.where(amax > 0, amax / 127.0, jnp.float32(1.0))
-    q = jnp.clip(jnp.round(w / scale[..., None, :]), -127, 127).astype(jnp.int8)
+    w = p["kernel"]
+    if w.ndim >= 3:
+        q, scale = _quantize_stacked_int8(w)
+    else:
+        q, scale = _quantize_kernel_int8(w)
     out = {"kernel_q": q, "kscale": scale}
     if "bias" in p and p["bias"] is not None:
         out["bias"] = p["bias"]
