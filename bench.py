@@ -111,7 +111,10 @@ def main():
     if args.int8:
         from videopainter_tpu.quantize import quantize_transformer_int8
 
-        params = {k: quantize_transformer_int8(v) for k, v in params.items()}
+        # free_source: at 42L the bf16 stack is ~11.3 GiB of a ~13 GiB-usable
+        # chip — the int8 copy can only be built if sources are freed as it goes
+        params = {k: quantize_transformer_int8(v, free_source=True)
+                  for k, v in params.items()}
 
     B = 1
     lat_shape = (B, T_lat, H_lat, W_lat, 16)

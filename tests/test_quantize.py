@@ -106,3 +106,20 @@ def test_pipeline_int8_quality():
     mse = float(np.square(np.asarray(got) / 2 - np.asarray(ref) / 2).mean())
     psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
     assert psnr > 25.0, f"int8 pipeline PSNR vs full precision {psnr:.1f} dB"
+
+
+def test_quantize_free_source():
+    """free_source=True must produce identical int8 params while popping the
+    source kernels (the 42L on-chip path: both trees never coexist)."""
+    import copy
+
+    cfg = TransformerConfig.tiny(in_channels=16, out_channels=16,
+                                 sample_height=8, sample_width=12)
+    t = CogVideoXTransformer3D(cfg)
+    p = t.init(jax.random.PRNGKey(0))
+    ref = quantize_transformer_int8(copy.deepcopy(p))
+    got = quantize_transformer_int8(p, free_source=True)
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert "kernel" not in p["blocks"]["attn1"]["to_q"]
+    assert "kernel" not in p["blocks"]["ff"]["proj_in"]

@@ -82,12 +82,16 @@ def _quantize_stacked_int8(w):
                         None, w)[1]
 
 
-def quantize_linear_int8(p: dict) -> dict:
+def quantize_linear_int8(p: dict, *, free_source: bool = False) -> dict:
     """Linear params -> int8 weights + per-out-channel scales.
 
     Works on plain [in, out] kernels and scan-stacked [L, in, out] kernels
     (the reduction runs over the `in` axis either way; stacked kernels are
     quantized one layer at a time to bound the f32 temporaries).
+
+    free_source=True pops the source kernel out of `p` as soon as the int8
+    copy is built, so quantizing an on-chip model never holds both full
+    trees — at 42-layer/16 GB scale the bf16 stack alone is ~70% of HBM.
     """
     w = p["kernel"]
     if w.ndim >= 3:
@@ -97,6 +101,10 @@ def quantize_linear_int8(p: dict) -> dict:
     out = {"kernel_q": q, "kscale": scale}
     if "bias" in p and p["bias"] is not None:
         out["bias"] = p["bias"]
+    if free_source:
+        jax.block_until_ready(q)
+        del w
+        p.pop("kernel")
     return out
 
 

@@ -29,28 +29,34 @@ _BLOCK_LINEARS = ("to_q", "to_k", "to_v", "qkv", "to_out",
                   "proj_in", "proj_out")
 
 
-def _quantize_block_tree(tree: dict) -> dict:
+def _quantize_block_tree(tree: dict, free_source: bool) -> dict:
     out = {}
     for k, v in tree.items():
         if isinstance(v, dict):
             if k in _BLOCK_LINEARS and "kernel" in v:
-                out[k] = quantize_linear_int8(v)
+                out[k] = quantize_linear_int8(v, free_source=free_source)
             else:
-                out[k] = _quantize_block_tree(v)
+                out[k] = _quantize_block_tree(v, free_source)
         else:
             out[k] = v
     return out
 
 
 def quantize_transformer_int8(params: dict,
-                              subtrees: Iterable[str] = ("blocks",)) -> dict:
+                              subtrees: Iterable[str] = ("blocks",),
+                              *, free_source: bool = False) -> dict:
     """Quantize the stacked block projections of a DiT/branch param tree.
 
     Only descends into `subtrees` (default: the scan-stacked "blocks") so
     embeddings, norms, and output heads keep full precision.
+
+    free_source=True drops each source kernel from `params` (mutating it) as
+    its int8 copy lands — required to quantize a full 42-layer model in place
+    on one 16 GB chip, where holding the bf16 and int8 trees simultaneously
+    exceeds HBM.
     """
     out = dict(params)
     for name in subtrees:
         if name in params:
-            out[name] = _quantize_block_tree(params[name])
+            out[name] = _quantize_block_tree(params[name], free_source)
     return out
