@@ -50,27 +50,53 @@ def main():
     import jax
 
     if args.layers == 0 and not args.tiny:
-        # auto ladder: measure the deepest truncation that fits one chip
-        # (30+ layers OOM on 16GB v5e - params + CFG-batched activations +
-        # XLA temp need ~7.5GB beyond params; 21L fits, and per-layer cost is
-        # consistent between 4L and 21L so the 42L extrapolation is sound)
+        # Auto mode. Headline rung: the TRUE 42-layer model, bf16, sequential
+        # CFG (two B=1 forwards — the batched B=2 program's activations don't
+        # fit next to 11.1 GiB of weights). This only runs because params are
+        # materialized by ONE jitted init program: eager per-leaf init
+        # interleaves f32 temporaries with the param leaves and fragments the
+        # heap so the forward's ~2 GiB contiguous temp arena can't be placed
+        # (hard-won; see CLAUDE.md). Second rung: 42L int8 W8A8 fast mode
+        # (CFG-batched — the int8 stack leaves room), attached as detail.
         import subprocess
 
-        # 42L only fits with sequential CFG (two B=1 forwards); the batched
-        # CFG path needs the 21L truncation + extrapolation
-        for layers, seq_cfg in ((42, True), (21, False), (8, False), (4, False)):
-            cmd = [sys.executable, __file__, "--layers", str(layers),
-                   "--steps", str(args.steps)] + \
-                  (["--seq-cfg"] if seq_cfg else []) + \
-                  (["--skip-vae"] if args.skip_vae else []) + \
+        def run_rung(extra, timeout=3000):
+            cmd = [sys.executable, __file__, "--steps", str(args.steps)] + \
+                  extra + (["--skip-vae"] if args.skip_vae else []) + \
                   (["--fuse-qkv"] if args.fuse_qkv else [])
-            res = subprocess.run(cmd, capture_output=True, text=True,
-                                 timeout=2400)
+            try:
+                res = subprocess.run(cmd, capture_output=True, text=True,
+                                     timeout=timeout)
+            except subprocess.TimeoutExpired:
+                return None
             lines = [l for l in res.stdout.splitlines() if l.startswith("{")]
             if res.returncode == 0 and lines:
-                print(lines[-1])
-                return
-        raise SystemExit("all bench ladder sizes failed")
+                return json.loads(lines[-1])
+            return None
+
+        headline = None
+        for rung in (["--layers", "42", "--seq-cfg"],
+                     ["--layers", "21"], ["--layers", "8"], ["--layers", "4"]):
+            headline = run_rung(rung)
+            if headline:
+                break
+        if headline is None:
+            raise SystemExit("all bench ladder sizes failed")
+        fast = run_rung(["--layers", "42", "--int8", "--skip-vae"])
+        if fast:
+            vae_s = headline["detail"].get("vae_decode_s") or 0.0
+            fast_clip = args.steps * fast["detail"]["step_ms_measured"] / 1e3 \
+                + vae_s
+            headline["detail"]["int8_fast_mode"] = {
+                "step_ms_measured": fast["detail"]["step_ms_measured"],
+                "layers_measured": fast["detail"]["layers_measured"],
+                "clips_per_min_per_chip": round(60.0 / fast_clip, 4),
+                "vs_baseline": round(60.0 / fast_clip / 0.125, 3),
+                "note": "opt-in W8A8 block projections; PSNR-gated vs full "
+                        "precision (tests/test_quantize.py)",
+            }
+        print(json.dumps(headline))
+        return
 
     try:  # persistent compile cache: repeat runs skip the slow remote compile
         jax.config.update("jax_compilation_cache_dir",
@@ -100,10 +126,19 @@ def main():
     branch = CogVideoXBranch(bcfg)
 
     dtype = jnp.bfloat16
-    params = {"transformer": transformer.init(jax.random.PRNGKey(0), dtype=dtype)}
-    params["branch"] = branch.init_from_transformer(jax.random.PRNGKey(1),
-                                                    params["transformer"], cfg,
-                                                    dtype=dtype)
+
+    # ONE jitted init program: outputs are buffer-assigned compactly, so the
+    # heap stays defragmented and the 42L forward's contiguous temp arena
+    # fits. Eager per-leaf init interleaves f32 temps with params and OOMs
+    # the 42L forward at runtime despite a 13.2 GiB compiled peak.
+    @jax.jit
+    def _build(k0, k1):
+        tp = transformer.init(k0, dtype=dtype)
+        bp = branch.init_from_transformer(k1, tp, cfg, dtype=dtype)
+        return {"transformer": tp, "branch": bp}
+
+    params = _build(jax.random.PRNGKey(0), jax.random.PRNGKey(1))
+    jax.block_until_ready(params)
     if args.fuse_qkv:
         from videopainter_tpu.ops.attention import fuse_qkv_projections
 

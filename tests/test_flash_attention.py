@@ -124,42 +124,3 @@ def test_flash_with_lse_interpret():
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
                                rtol=1e-5, atol=1e-5)
-
-
-@pytest.mark.parametrize("s_q,s_k", [(256, 512), (300, 300), (129, 1111)])
-def test_flash_nhd_matches_exact_interpret(s_q, s_k):
-    """[B, S, H, d] no-transpose/no-pad kernel vs exact SDPA (interpret)."""
-    from videopainter_tpu.ops.flash_attention import flash_attention_nhd
-
-    q, k, v = make_qkv(s_q, s_k)
-    ref = sdpa(q, k, v)
-    qn, kn, vn = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
-    with jax.experimental.pallas.tpu.force_tpu_interpret_mode() if hasattr(
-            jax.experimental.pallas, "tpu") else _null():
-        out = flash_attention_nhd(qn, kn, vn, blk_q=128, blk_k=128)
-    np.testing.assert_allclose(np.asarray(out.transpose(0, 2, 1, 3)),
-                               np.asarray(ref), rtol=2e-5, atol=2e-5)
-
-
-def test_flash_nhd_gradients_interpret():
-    """nhd custom-VJP (backward reuses the [B,H,S,d] kernels) vs autodiff."""
-    from videopainter_tpu.ops.flash_attention import flash_attention_nhd
-
-    q, k, v = make_qkv(300, 300, d=16)
-    qn, kn, vn = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
-
-    def loss_exact(q, k, v):
-        return jnp.sum(sdpa(q, k, v) ** 2)
-
-    def loss_nhd(qn, kn, vn):
-        return jnp.sum(flash_attention_nhd(qn, kn, vn, blk_q=128, blk_k=128,
-                                           bwd_blk_k=128) ** 2)
-
-    g_ref = jax.grad(loss_exact, argnums=(0, 1, 2))(q, k, v)
-    with jax.experimental.pallas.tpu.force_tpu_interpret_mode() if hasattr(
-            jax.experimental.pallas, "tpu") else _null():
-        g_out = jax.grad(loss_nhd, argnums=(0, 1, 2))(qn, kn, vn)
-    for name, a, b in zip("qkv", g_out, g_ref):
-        np.testing.assert_allclose(np.asarray(a.transpose(0, 2, 1, 3)),
-                                   np.asarray(b), rtol=3e-4, atol=3e-5,
-                                   err_msg=f"d{name}")

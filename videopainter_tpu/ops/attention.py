@@ -103,6 +103,13 @@ def joint_attention(
     use_resample = resample_mask is not None or prev_resample_mask is not None
     has_prev = prev_hidden_states is not None and prev_clip_weight is not None
 
+    # NOTE (measured, round 2): a "no-transpose" [B, S, H, d]-layout Pallas
+    # kernel that reads head slices via BlockSpec indexing was tried and is
+    # 4.4x SLOWER than split_heads + the [B, H, S, d] kernel at flagship dims
+    # (597.9 vs 137.1 ms @ S=17776) — the strided per-head DMAs defeat it, and
+    # blocks >=512x512 crash the Mosaic compiler at S>=4096. The head
+    # transposes below are the right trade; do not revisit.
+
     if use_resample:
         # Reference :2247-2262 — mask multiplies the raw K/V projections.
         if has_prev:

@@ -129,149 +129,6 @@ def _flash_padded(q, k, v, scale, kv_len, blk_q, blk_k, with_lse=False):
 
 
 # ---------------------------------------------------------------------------
-# No-transpose / no-pad forward: [B, S, H, d] layout
-# ---------------------------------------------------------------------------
-#
-# The projections produce [B, S, H*d]; the classic [B, H, S, d] kernel layout
-# forces 3 head-split transposes + 1 merge + pad/slice copies per layer
-# (~218 MB each at flagship dims). Here the kernel reads head h's 64-wide
-# column slice straight out of [B, S, H, d] via BlockSpec indexing (a strided
-# DMA the hardware overlaps with compute) on a ceil-div grid — no transposes,
-# no sequence padding. Tail KV blocks are masked in-kernel: K garbage is
-# neutralized by the kv_len column mask, V garbage by an explicit row mask
-# (0 * NaN would otherwise poison the PV matmul).
-
-def _flash_kernel_nhd(q_ref, k_ref, v_ref, o_ref, *refs,
-                      scale: float, kv_len: int, blk_k: int,
-                      with_lse: bool = False):
-    if with_lse:
-        lse_ref, m_ref, l_ref, acc_ref = refs
-    else:
-        m_ref, l_ref, acc_ref = refs
-        lse_ref = None
-    j = pl.program_id(3)
-    nk = pl.num_programs(3)
-    blk_q, d = q_ref.shape
-
-    @pl.when(j == 0)
-    def _():
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    s = jax.lax.dot_general(q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1) + j * blk_k
-    s = jnp.where(col < kv_len, s, NEG_INF)
-
-    m_prev = m_ref[:, :1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
-    l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    rowk = jax.lax.broadcasted_iota(jnp.int32, (blk_k, 1), 0) + j * blk_k
-    vblk = jnp.where(rowk < kv_len, v_ref[:].astype(jnp.float32), 0.0)
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p.astype(v_ref.dtype), vblk.astype(v_ref.dtype),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
-
-    @pl.when(j == nk - 1)
-    def _():
-        o_ref[:] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
-        if lse_ref is not None:
-            lse_ref[:] = m_ref[:] + jnp.log(l_ref[:])
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("scale", "blk_q", "blk_k", "with_lse"))
-def _flash_nhd_call(q, k, v, scale, blk_q, blk_k, with_lse=False):
-    b, s_q, h, d = q.shape
-    s_k = k.shape[1]
-    nq = pl.cdiv(s_q, blk_q)
-    nk = pl.cdiv(s_k, blk_k)
-    qspec = pl.BlockSpec((None, blk_q, None, d), lambda b, h, i, j: (b, i, h, 0),
-                         memory_space=pltpu.VMEM)
-    kvspec = pl.BlockSpec((None, blk_k, None, d), lambda b, h, i, j: (b, j, h, 0),
-                          memory_space=pltpu.VMEM)
-    out_shapes = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
-    out_specs = [qspec]
-    if with_lse:
-        out_shapes.append(jax.ShapeDtypeStruct((b, s_q, h, 128), jnp.float32))
-        out_specs.append(pl.BlockSpec((None, blk_q, None, 128),
-                                      lambda b, h, i, j: (b, i, h, 0),
-                                      memory_space=pltpu.VMEM))
-    res = pl.pallas_call(
-        functools.partial(_flash_kernel_nhd, scale=scale, kv_len=s_k,
-                          blk_k=blk_k, with_lse=with_lse),
-        grid=(b, h, nq, nk),
-        in_specs=[qspec, kvspec, kvspec],
-        out_specs=out_specs if with_lse else out_specs[0],
-        out_shape=out_shapes if with_lse else out_shapes[0],
-        scratch_shapes=[
-            pltpu.VMEM((blk_q, 128), jnp.float32),
-            pltpu.VMEM((blk_q, 128), jnp.float32),
-            pltpu.VMEM((blk_q, d), jnp.float32),
-        ],
-    )(q, k, v)
-    if with_lse:
-        out, lse = res
-        return out, lse[..., 0]                      # [B, S, H]
-    return res
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_nhd(q, k, v, scale, blk_q, blk_k, bwd_blk_k):
-    return _flash_nhd_call(q, k, v, scale, blk_q, blk_k)
-
-
-def _flash_nhd_fwd(q, k, v, scale, blk_q, blk_k, bwd_blk_k):
-    out, lse = _flash_nhd_call(q, k, v, scale, blk_q, blk_k, with_lse=True)
-    return out, (q, k, v, out, lse)
-
-
-def _flash_nhd_bwd(scale, blk_q, blk_k, bwd_blk_k, res, g):
-    # Training path: transpose to the [B, H, S, d] layout the backward kernels
-    # use (the inference hot path never runs this).
-    q, k, v, out, lse = res
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
-    gt = g.transpose(0, 2, 1, 3)
-    b, h, s_q, d = qt.shape
-    sqp = _ceil_to(s_q, blk_q)
-    outp = jnp.pad(out.transpose(0, 2, 1, 3),
-                   ((0, 0), (0, 0), (0, sqp - s_q), (0, 0))
-                   ).reshape(b * h, sqp, d)
-    lsep = jnp.pad(lse.transpose(0, 2, 1), ((0, 0), (0, 0), (0, sqp - s_q))
-                   ).reshape(b * h, sqp)
-    dq, dk, dv = _flash_bwd(scale, blk_q, blk_k, bwd_blk_k,
-                            (qt, kt, vt, outp, lsep), gt)
-    return (dq.transpose(0, 2, 1, 3), dk.transpose(0, 2, 1, 3),
-            dv.transpose(0, 2, 1, 3))
-
-
-_flash_nhd.defvjp(_flash_nhd_fwd, _flash_nhd_bwd)
-
-
-def flash_attention_nhd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                        scale: Optional[float] = None, *, blk_q: int = 512,
-                        blk_k: int = 2048,
-                        bwd_blk_k: int = 2048) -> jnp.ndarray:
-    """Flash attention over [B, S, H, d] inputs — the projection-native layout.
-
-    Skips the head transposes and sequence padding of `flash_attention`
-    (numerically identical); differentiable (backward reuses the [B,H,S,d]
-    Pallas kernels via transposes).
-    """
-    if scale is None:
-        scale = q.shape[-1] ** -0.5
-    return _flash_nhd(q, k, v, float(scale), blk_q, blk_k, bwd_blk_k)
-
-
-# ---------------------------------------------------------------------------
 # Pallas backward kernels (transposed-scores design)
 # ---------------------------------------------------------------------------
 #
