@@ -124,3 +124,36 @@ def test_flash_with_lse_interpret():
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_flash_resample_and_prev_paths_match_exact():
+    """use_flash=True must match the exact-SDPA processors for the ID-resample
+    and prev-clip blend variants (flash over concatenated KV / two flash
+    calls) — at 17.8k tokens the exact score matrix cannot materialize, so
+    these paths are what the any-length ID pipelines run on-chip."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from videopainter_tpu.ops.attention import init_attention, joint_attention
+
+    p = init_attention(jax.random.PRNGKey(0), 32, num_heads=2)
+    h = jax.random.normal(jax.random.PRNGKey(1), (2, 24, 32))
+    e = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 32))
+    mask = jax.random.uniform(jax.random.PRNGKey(3), (2, 29)) > 0.5
+    prev = jax.random.normal(jax.random.PRNGKey(4), (2, 29, 32))
+    pmask = jax.random.uniform(jax.random.PRNGKey(5), (2, 29)) > 0.5
+
+    cases = [
+        dict(resample_mask=mask),
+        dict(prev_hidden_states=prev, prev_clip_weight=0.3),
+        dict(prev_hidden_states=prev, prev_clip_weight=0.4,
+             prev_resample_mask=pmask),
+    ]
+    for kw in cases:
+        ref_h, ref_e = joint_attention(p, h, e, num_heads=2, **kw)
+        with pltpu.force_tpu_interpret_mode():
+            out_h, out_e = joint_attention(p, h, e, num_heads=2,
+                                           use_flash=True, **kw)
+        np.testing.assert_allclose(np.asarray(out_h), np.asarray(ref_h),
+                                   rtol=3e-5, atol=3e-5, err_msg=str(kw.keys()))
+        np.testing.assert_allclose(np.asarray(out_e), np.asarray(ref_e),
+                                   rtol=3e-5, atol=3e-5, err_msg=str(kw.keys()))

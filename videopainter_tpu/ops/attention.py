@@ -145,7 +145,12 @@ def joint_attention(
         km = _rope_video_slice(km, rope, text_len)
         k = jnp.concatenate([k, km], axis=2)
         v = jnp.concatenate([v, vm], axis=2)
-        out = sdpa(q, k, v)
+        if use_flash:
+            # S_kv = 2*S_q — the kernel takes ragged/asymmetric kv lengths
+            from .flash_attention import flash_attention
+            out = flash_attention(q, k, v)
+        else:
+            out = sdpa(q, k, v)
     elif has_prev:
         # base processor dual-attention blend (:2156-2189)
         if "to_qkv" in p:
@@ -160,7 +165,15 @@ def joint_attention(
             pk = layer_norm(p["norm_k"], pk, eps=qk_norm_eps)
         pk = _rope_video_slice(pk, rope, text_len)
         w = prev_clip_weight
-        out = sdpa(q, k, v) * (1.0 - w) + sdpa(q, pk, pv) * w
+        if use_flash:
+            # the blend is linear in the attention OUTPUTS (:2156-2189), so
+            # two flash calls replace the two SDPAs — at 17,776 tokens the
+            # exact path's score matrix cannot materialize on a chip
+            from .flash_attention import flash_attention
+            out = (flash_attention(q, k, v) * (1.0 - w)
+                   + flash_attention(q, pk, pv) * w)
+        else:
+            out = sdpa(q, k, v) * (1.0 - w) + sdpa(q, pk, pv) * w
     elif ring_axis is not None and ring_mesh is not None and text_len > 0:
         # sequence-parallel ring attention over ICI: video KV shards rotate,
         # text KV folded in once (parallel/ring_attention.py)
