@@ -3,11 +3,12 @@
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
 Measures the real hot path on the attached TPU chip:
- - fused branch(2L) + backbone denoise step at flagship dims
+ - fused branch(2L) + FULL 42-layer backbone denoise step at flagship dims
    (d=3072, 48 heads, 17,776-token joint sequence, CFG batch 2, bf16,
-   Pallas flash attention)
- - the backbone is truncated to as many layers as fit alongside activations
-   on one chip's HBM; per-layer cost is measured and scaled to 42 layers
+   Pallas flash attention) — measured, not extrapolated; params come from
+   one jitted init program so the heap stays unfragmented (see CLAUDE.md)
+ - a second rung measures the opt-in int8 W8A8 fast mode (reported in
+   detail.int8_fast_mode)
  - VAE decode of the 13-latent-frame 60x90 grid (tiled)
 
 clip time = 50 * step_time + decode_time; metric = clips/min/chip.
@@ -75,7 +76,10 @@ def main():
             return None
 
         headline = None
-        for rung in (["--layers", "42", "--seq-cfg"],
+        # batched CFG at 42L fits (params from the compact jitted init leave
+        # ~4.4 GiB for the B=2 activations) and measures 8611 ms/step vs
+        # 9211 sequential; keep seq-CFG as the fallback rung
+        for rung in (["--layers", "42"], ["--layers", "42", "--seq-cfg"],
                      ["--layers", "21"], ["--layers", "8"], ["--layers", "4"]):
             headline = run_rung(rung)
             if headline:
