@@ -1,0 +1,140 @@
+"""On-chip end-to-end smoke of the flagship any-length inpainting path.
+
+Runs the COMPLETE production inference path — VAE encode, sliding-window
+50-step dual-stream denoise (branch + 42-layer backbone, CFG, dynamic
+guidance, replace_gt), cross-window state, VAE decode — at flagship dims
+(480x720, 49-frame windows) on ONE v5e chip, with the opt-in int8 W8A8
+block projections (the bf16 DiT + VAE cannot coexist in 16 GB; int8 is the
+single-chip deployment mode — see CLAUDE.md).
+
+Random weights (this box has no converted checkpoints); the value is proving
+the full pipeline compiles, fits, and runs at production shapes, and timing
+its phases. Reference path being mirrored: infer/inpaint.py:410-453 driving
+pipeline_cogvideox_inpainting_i2v_branch_anyl.py:158-1082.
+
+Usage: python tools/smoke_chip_anyl.py [--frames 73] [--stride 24]
+       [--steps 50] [--bf16] [--resample]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=73)
+    ap.add_argument("--stride", type=int, default=24)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--bf16", action="store_true",
+                    help="skip int8 quantization (needs >16 GB HBM at 42L)")
+    ap.add_argument("--layers", type=int, default=42)
+    ap.add_argument("--resample", action="store_true",
+                    help="VideoPainterID mode: cross-window ID resampling + "
+                         "prev-clip blend (stores 42 x [S,3072] hidden states "
+                         "between windows - tightest memory config)")
+    ap.add_argument("--stream-decode", action="store_true", default=True)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_vp_bench"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    from videopainter_tpu.config import (BranchConfig, SchedulerConfig,
+                                         TransformerConfig, VAEConfig)
+    from videopainter_tpu.models import (AutoencoderKLCogVideoX, CogVideoXBranch,
+                                         CogVideoXTransformer3D)
+    from videopainter_tpu.pipelines import CogVideoXI2VDualInpaintAnyLPipeline
+    from videopainter_tpu.schedulers import CogVideoXDPMScheduler
+
+    dtype = jnp.bfloat16
+    cfg = TransformerConfig.cogvideox_5b_i2v(num_layers=args.layers)
+    bcfg = BranchConfig.from_transformer(cfg, num_layers=2)
+    transformer = CogVideoXTransformer3D(cfg)
+    branch = CogVideoXBranch(bcfg)
+    vae = AutoencoderKLCogVideoX(VAEConfig())
+    vae.enable_tiling()
+    sched = CogVideoXDPMScheduler(SchedulerConfig.cogvideox_5b_inference())
+
+    t0 = time.time()
+
+    # one jitted init program -> compactly laid-out params (CLAUDE.md)
+    @jax.jit
+    def _build(k0, k1):
+        tp = transformer.init(k0, dtype=dtype)
+        bp = branch.init_from_transformer(k1, tp, cfg, dtype=dtype)
+        return {"transformer": tp, "branch": bp}
+
+    params = _build(jax.random.PRNGKey(0), jax.random.PRNGKey(1))
+    jax.block_until_ready(params)
+    params["vae"] = vae.init(jax.random.PRNGKey(2), dtype=dtype)
+    print(f"init: {time.time()-t0:.1f}s, "
+          f"{sum(x.nbytes for x in jax.tree.leaves(params))/2**30:.2f} GiB")
+
+    if not args.bf16:
+        from videopainter_tpu.quantize import quantize_transformer_int8
+
+        t0 = time.time()
+        params["transformer"] = quantize_transformer_int8(
+            params["transformer"], free_source=True)
+        params["branch"] = quantize_transformer_int8(
+            params["branch"], free_source=True)
+        jax.block_until_ready((params["transformer"], params["branch"]))
+        print(f"int8 quantize: {time.time()-t0:.1f}s, "
+              f"{sum(x.nbytes for x in jax.tree.leaves(params))/2**30:.2f} GiB")
+
+    pipe = CogVideoXI2VDualInpaintAnyLPipeline(transformer, branch, vae, sched)
+
+    B, T, H, W = 1, args.frames, 480, 720
+    rng = np.random.RandomState(0)
+    video = jnp.asarray(rng.rand(B, T, H, W, 3).astype(np.float32) * 2 - 1,
+                        dtype)
+    masks = np.zeros((B, T, H, W), np.float32)
+    masks[:, :, 120:360, 180:540] = 1.0
+    embeds = jax.random.normal(jax.random.PRNGKey(3), (B, 226, 4096), dtype)
+
+    done = {"n": 0}
+
+    def progress(done_steps, total_steps):
+        if done_steps - done["n"] >= 10 or done_steps == total_steps:
+            done["n"] = done_steps
+            print(f"  denoise {done_steps}/{total_steps} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+
+    t0 = time.time()
+    out = pipe(
+        params, video=video, masks=jnp.asarray(masks), image=video[:, 0],
+        num_frames=49, stride=args.stride,
+        prompt_embeds=embeds, negative_prompt_embeds=jnp.zeros_like(embeds),
+        num_inference_steps=args.steps, guidance_scale=6.0,
+        use_dynamic_cfg=True, replace_gt=True, mask_add=True,
+        id_pool_resample=args.resample,
+        prev_clip_weight=0.3 if args.resample else 0.0,
+        rng=jax.random.PRNGKey(42), use_flash=True,
+        stream_decode=args.stream_decode, dtype=dtype,
+        progress_fn=progress)
+    out = np.asarray(out)
+    wall = time.time() - t0
+    n_windows = (T - 49) // args.stride + 1
+    assert out.shape == (B, T, H, W, 3), out.shape
+    assert np.isfinite(out).all()
+    print(f"E2E OK: {out.shape}, {n_windows} windows, {wall:.1f}s wall "
+          f"({wall/n_windows:.1f}s/window incl. compile), "
+          f"mode={'bf16' if args.bf16 else 'int8'}"
+          f"{'+resample' if args.resample else ''}")
+
+
+if __name__ == "__main__":
+    main()
