@@ -123,3 +123,25 @@ def test_quantize_free_source():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert "kernel" not in p["blocks"]["attn1"]["to_q"]
     assert "kernel" not in p["blocks"]["ff"]["proj_in"]
+
+
+def test_quantize_after_fuse_qkv():
+    """int8 composes with fuse_qkv_projections (the fused [D,3D] kernel is in
+    the quantizable set) and stays close to the unfused fp32 forward."""
+    from videopainter_tpu.ops.attention import fuse_qkv_projections
+
+    cfg = TransformerConfig.tiny(in_channels=16, out_channels=16,
+                                 sample_height=8, sample_width=12)
+    t = CogVideoXTransformer3D(cfg)
+    params = t.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 8, 12, 16))
+    emb = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 12))
+    ts = jnp.zeros((1,), jnp.int32)
+    ref = t.apply(params, x, emb, ts).sample
+
+    q = quantize_transformer_int8(fuse_qkv_projections(params))
+    assert "kernel_q" in q["blocks"]["attn1"]["to_qkv"]
+    got = t.apply(q, x, emb, ts).sample
+    ref_n, got_n = np.asarray(ref), np.asarray(got)
+    cos = (ref_n * got_n).sum() / (np.linalg.norm(ref_n) * np.linalg.norm(got_n))
+    assert cos > 0.995, cos

@@ -105,14 +105,8 @@ def main():
     masks[:, :, 120:360, 180:540] = 1.0
     embeds = jax.random.normal(jax.random.PRNGKey(3), (B, 226, 4096), dtype)
 
-    done = {"n": 0}
-
-    def progress(done_steps, total_steps):
-        if done_steps - done["n"] >= 10 or done_steps == total_steps:
-            done["n"] = done_steps
-            print(f"  denoise {done_steps}/{total_steps} "
-                  f"({time.time()-t0:.0f}s)", flush=True)
-
+    # NOTE: no progress_fn here — it rides jax.debug.callback, and the axon
+    # PJRT tunnel does not support host callbacks (UNIMPLEMENTED).
     t0 = time.time()
     out = pipe(
         params, video=video, masks=jnp.asarray(masks), image=video[:, 0],
@@ -123,8 +117,7 @@ def main():
         id_pool_resample=args.resample,
         prev_clip_weight=0.3 if args.resample else 0.0,
         rng=jax.random.PRNGKey(42), use_flash=True,
-        stream_decode=args.stream_decode, dtype=dtype,
-        progress_fn=progress)
+        stream_decode=args.stream_decode, dtype=dtype)
     out = np.asarray(out)
     wall = time.time() - t0
     n_windows = (T - 49) // args.stride + 1

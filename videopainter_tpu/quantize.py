@@ -25,7 +25,8 @@ from typing import Iterable
 from .ops.basic import quantize_linear_int8
 
 # block-level projections worth quantizing: the big [D, D] / [D, 4D] matmuls
-_BLOCK_LINEARS = ("to_q", "to_k", "to_v", "qkv", "to_out",
+# ("to_qkv" is the fused-projection slot from fuse_qkv_projections)
+_BLOCK_LINEARS = ("to_q", "to_k", "to_v", "to_qkv", "to_out",
                   "proj_in", "proj_out")
 
 
