@@ -114,7 +114,7 @@ def main():
         prompt_embeds=embeds, negative_prompt_embeds=jnp.zeros_like(embeds),
         num_inference_steps=args.steps, guidance_scale=6.0,
         use_dynamic_cfg=True, replace_gt=True, mask_add=True,
-        id_pool_resample=args.resample,
+        id_pool_resample=args.resample, sequential_cfg=True,
         prev_clip_weight=0.3 if args.resample else 0.0,
         rng=jax.random.PRNGKey(42), use_flash=True,
         stream_decode=args.stream_decode, dtype=dtype)

@@ -28,6 +28,19 @@ from ..ops.rope import get_3d_rotary_pos_embed, get_resize_crop_region_for_grid
 from ..schedulers import CogVideoXDPMScheduler
 
 
+def supports_host_callbacks() -> bool:
+    """Whether the backend can run jax.debug.callback from inside jit.
+
+    The axon PJRT tunnel raises UNIMPLEMENTED for host send/recv callbacks;
+    pipelines silently downgrade per-step progress to per-call progress there
+    instead of crashing the denoise scan.
+    """
+    try:
+        return jax.default_backend() != "axon"
+    except Exception:
+        return True
+
+
 def get_strength_timesteps(timesteps: np.ndarray, num_inference_steps: int,
                            strength: float) -> Tuple[np.ndarray, int]:
     """Strength-based timestep slicing (reference :485-493)."""
@@ -113,6 +126,8 @@ class DenoiseConfig:
     seq_axis: Optional[str] = None        # GSPMD sequence-parallel mesh axis
     ring_mesh: Any = None                 # Mesh: ring attention over seq_axis
     dpm_sde: bool = True                  # draw SDE noise each DPM step
+    sequential_cfg: bool = False          # uncond/cond as two B-sized passes
+                                          # (halves activation peak; 1-chip)
     # "dual": branch -> backbone injection (flagship);
     # "sft": cond channels concatenated straight into the widened backbone
     #        (pipeline_cogvideox_inpainting_sft.py:852, no branch);
@@ -171,9 +186,53 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
 
     def model_step(params, inputs: DenoiseInputs, rope, latents, i, prev_state,
                    capture: bool):
+        if dcfg.do_cfg and dcfg.sequential_cfg:
+            # single-chip memory mode: uncond and cond as two B-sized passes
+            # inside the same scan step — XLA reuses the first pass's temp
+            # buffers for the second, halving the activation peak vs the
+            # CFG-batched 2B pass (the knob that lets the 42L model denoise
+            # next to the VAE on one 16 GB chip). Output re-concatenated so
+            # scheduler_and_blend's uncond/cond split is unchanged; captured
+            # hidden states / prev-state are handled per CFG half so the
+            # any-length cross-window conditioning stays batched-equivalent.
+            b = latents.shape[0]
+
+            def half(ps, lo, hi):
+                if ps is None:
+                    return None
+                return {"prev_hidden_states": ps["prev_hidden_states"][:, lo:hi],
+                        "prev_resample_mask": ps["prev_resample_mask"][lo:hi],
+                        "prev_clip_weight": ps["prev_clip_weight"]}
+
+            out_u = _model_pass(params, inputs, rope, latents, i,
+                                half(prev_state, 0, b), capture=capture,
+                                embeds=inputs.prompt_embeds[:b],
+                                cfg_batch=False)
+            out_c = _model_pass(params, inputs, rope, latents, i,
+                                half(prev_state, b, 2 * b), capture=capture,
+                                embeds=inputs.prompt_embeds[b:],
+                                cfg_batch=False)
+            out = out_c._replace(
+                sample=jnp.concatenate([out_u.sample, out_c.sample], axis=0))
+            if capture:
+                out = out._replace(
+                    hidden_states_list=jnp.concatenate(
+                        [out_u.hidden_states_list, out_c.hidden_states_list],
+                        axis=1),
+                    resample_mask=(None if out_c.resample_mask is None else
+                                   jnp.concatenate([out_u.resample_mask,
+                                                    out_c.resample_mask],
+                                                   axis=0)))
+            return out
+        return _model_pass(params, inputs, rope, latents, i, prev_state,
+                           capture=capture, embeds=inputs.prompt_embeds,
+                           cfg_batch=dcfg.do_cfg)
+
+    def _model_pass(params, inputs: DenoiseInputs, rope, latents, i, prev_state,
+                    capture: bool, embeds, cfg_batch: bool):
         tcfg = transformer.cfg
         t = coeffs.timesteps[i]
-        if dcfg.do_cfg:
+        if cfg_batch:
             latent_video_input = jnp.concatenate([latents, latents], axis=0)
             image_latents = jnp.concatenate([inputs.image_latents] * 2, axis=0)
             masked_lat = jnp.concatenate([inputs.masked_video_latents] * 2, axis=0)
@@ -203,13 +262,13 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
         if dcfg.mode == "dual":
             branch_cond = jnp.concatenate([masked_lat, mask[..., None]], axis=-1)
             branch_samples = branch.apply(
-                params["branch"], latent_video_input, inputs.prompt_embeds,
+                params["branch"], latent_video_input, embeds,
                 branch_cond, timestep, rope=rope,
                 conditioning_scale=dcfg.conditioning_scale,
                 use_flash=dcfg.use_flash, seq_axis=dcfg.seq_axis,
                 ring_mesh=dcfg.ring_mesh)
             return transformer.apply(
-                params["transformer"], latent_model_input, inputs.prompt_embeds,
+                params["transformer"], latent_model_input, embeds,
                 timestep, rope=rope,
                 branch_block_samples=branch_samples,
                 branch_block_masks=mask if dcfg.mask_add else None,
@@ -224,7 +283,7 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
             model_in = jnp.concatenate(
                 [latent_model_input, masked_lat, mask[..., None]], axis=-1)
             return transformer.apply(
-                params["transformer"], model_in, inputs.prompt_embeds, timestep,
+                params["transformer"], model_in, embeds, timestep,
                 rope=rope, return_hidden_states=capture,
                 use_flash=dcfg.use_flash, seq_axis=dcfg.seq_axis,
                 ring_mesh=dcfg.ring_mesh, **kw)
@@ -237,21 +296,21 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
             abar_t = jnp.asarray(scheduler.alphas_cumprod,
                                  dtype=jnp.float32)[t]
             noise_cfg = (jnp.concatenate([inputs.noise] * 2, axis=0)
-                         if dcfg.do_cfg else inputs.noise)
+                         if cfg_batch else inputs.noise)
             noised_masked = (jnp.sqrt(abar_t) * masked_lat.astype(jnp.float32)
                              + jnp.sqrt(1 - abar_t) * noise_cfg.astype(jnp.float32)
                              ).astype(masked_lat.dtype)
             if tcfg.in_channels == 2 * latents.shape[-1]:
                 noised_masked = jnp.concatenate([noised_masked, image_latents], axis=-1)
             g = transformer.apply(
-                params["transformer"], noised_masked, inputs.prompt_embeds,
+                params["transformer"], noised_masked, embeds,
                 timestep, rope=rope, return_hidden_states=True,
                 use_flash=dcfg.use_flash, seq_axis=dcfg.seq_axis,
                 ring_mesh=dcfg.ring_mesh)
-            text_len = inputs.prompt_embeds.shape[1]
+            text_len = embeds.shape[1]
             sg = g.hidden_states_list[:, :, text_len:]
             return transformer.apply(
-                params["transformer"], latent_model_input, inputs.prompt_embeds,
+                params["transformer"], latent_model_input, embeds,
                 timestep, rope=rope,
                 self_guidance_hidden_states=sg,
                 self_guidance_masks=mask,
@@ -261,7 +320,7 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
 
         # "plain" latent-blend baseline: bare backbone
         return transformer.apply(
-            params["transformer"], latent_model_input, inputs.prompt_embeds,
+            params["transformer"], latent_model_input, embeds,
             timestep, rope=rope, return_hidden_states=capture,
             use_flash=dcfg.use_flash, seq_axis=dcfg.seq_axis,
                 ring_mesh=dcfg.ring_mesh, **kw)

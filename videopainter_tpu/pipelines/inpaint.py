@@ -32,6 +32,7 @@ from ..models.dit import CogVideoXTransformer3D
 from ..models.vae import AutoencoderKLCogVideoX
 from ..schedulers import CogVideoXDPMScheduler
 from .common import (DenoiseConfig, DenoiseInputs, get_strength_timesteps,
+                     supports_host_callbacks,
                      make_denoise_fn, prepare_rope, resize_mask_to_latent)
 
 
@@ -179,6 +180,7 @@ class CogVideoXI2VDualInpaintPipeline:
         dpm_noises: Optional[jnp.ndarray] = None,
         output_type: str = "np",
         use_flash: bool = False,
+        sequential_cfg: bool = False,
         seq_axis: Optional[str] = None,
         ring_mesh=None,
         progress_fn: Optional[Any] = None,   # called with (step, total_steps)
@@ -241,7 +243,8 @@ class CogVideoXI2VDualInpaintPipeline:
             wo_text=wo_text, id_pool_resample=id_pool_resample,
             is_dpm=isinstance(self.scheduler, CogVideoXDPMScheduler),
             use_flash=use_flash, seq_axis=seq_axis, ring_mesh=ring_mesh,
-            with_progress=progress_fn is not None,
+            sequential_cfg=sequential_cfg,
+            with_progress=progress_fn is not None and supports_host_callbacks(),
             mode=self._mode)
         denoise = self._get_denoise(dcfg, timesteps)
 

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..schedulers import CogVideoXDPMScheduler
-from .common import DenoiseConfig, get_strength_timesteps, prepare_rope
+from .common import (DenoiseConfig, get_strength_timesteps, prepare_rope,
+                     supports_host_callbacks)
 from .inpaint import CogVideoXI2VDualInpaintPipeline
 
 
@@ -67,6 +68,7 @@ class CogVideoXI2VDualInpaintAnyLPipeline(CogVideoXI2VDualInpaintPipeline):
         dpm_noises_list: Optional[list] = None,   # per-window [S,...] SDE noise
         output_type: str = "np",
         use_flash: bool = False,
+        sequential_cfg: bool = False,
         seq_axis: Optional[str] = None,
         ring_mesh=None,
         stream_decode: bool = False,
@@ -120,7 +122,8 @@ class CogVideoXI2VDualInpaintAnyLPipeline(CogVideoXI2VDualInpaintPipeline):
             wo_text=wo_text, id_pool_resample=id_pool_resample,
             is_dpm=isinstance(self.scheduler, CogVideoXDPMScheduler),
             use_flash=use_flash, seq_axis=seq_axis, ring_mesh=ring_mesh,
-            with_progress=progress_fn is not None,
+            sequential_cfg=sequential_cfg,
+            with_progress=progress_fn is not None and supports_host_callbacks(),
             mode=self._mode)
 
         def window_start(w: int) -> int:
@@ -185,7 +188,14 @@ class CogVideoXI2VDualInpaintAnyLPipeline(CogVideoXI2VDualInpaintPipeline):
             try:
                 latents, hs_list, resample_mask = denoise(params, inputs, rope,
                                                           k, prev_state)
-                if progress_fn is not None:
+                if progress_fn is not None or vae_device is None:
+                    # single-device: serialize at the window boundary. The
+                    # denoise scan's temp arena is multiple GiB and the axon
+                    # allocator does not backpressure host-side eager allocs
+                    # against in-flight programs — the accumulator update
+                    # would OOM while the scan still holds its arena. With a
+                    # second device (vae_device) async dispatch is the point,
+                    # so no sync there.
                     latents = jax.block_until_ready(latents)
             finally:
                 self._progress_cell[0] = None
