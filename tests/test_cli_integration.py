@@ -83,3 +83,33 @@ def test_cli_generate_video(tmp_path):
     assert out01.shape == (9, 64, 96, 3)
     assert np.isfinite(out01).all()
     assert os.path.exists(os.path.join(root, "out", "video_0.mp4"))
+
+
+def test_cli_generate_video_int8_sequential(tmp_path):
+    """Single-chip deployment flags: --int8 + --sequential_cfg (with
+    --use_flash, this is the config the 42L model runs under on one 16 GB
+    chip). Flash needs a TPU, so this CPU test exercises the two
+    numerics-affecting flags through the full CLI."""
+    from videopainter_tpu.infer.inpaint import generate_video, get_args
+
+    root = str(tmp_path)
+    make_ckpts(root)
+    make_data(root)
+    embeds = np.random.RandomState(3).rand(1, 5, 12).astype(np.float32)
+    np.save(os.path.join(root, "embeds.npy"), embeds)
+
+    args = get_args([
+        "--model_path", os.path.join(root, "model"),
+        "--inpainting_branch", os.path.join(root, "branch"),
+        "--meta_file_path", os.path.join(root, "meta.csv"),
+        "--video_id", "0",
+        "--output_path", os.path.join(root, "out"),
+        "--prompt_embeds", os.path.join(root, "embeds.npy"),
+        "--height", "64", "--width", "96",
+        "--num_frames", "9", "--num_inference_steps", "2",
+        "--replace_gt", "--mask_add", "--first_frame_gt",
+        "--dtype", "float32", "--int8", "--sequential_cfg",
+    ])
+    out01 = generate_video(args)
+    assert out01.shape == (9, 64, 96, 3)
+    assert np.isfinite(out01).all()

@@ -161,6 +161,16 @@ def generate_video(args, first_frame_inpaint_fn: Optional[Callable] = None,
     pipe, params = build_pipeline(args.model_path, args.inpainting_branch,
                                   args.id_adapter, args.dtype, args.long_video)
 
+    if getattr(args, "int8", False):
+        # single-chip deployment mode: W8A8 block projections; on a 16 GB
+        # chip the bf16 42L stack cannot share HBM with the VAE (CLAUDE.md)
+        from ..quantize import quantize_transformer_int8
+
+        params["transformer"] = quantize_transformer_int8(
+            params["transformer"], free_source=True)
+        params["branch"] = quantize_transformer_int8(params["branch"],
+                                                     free_source=True)
+
     video_u8, masks, caption = read_video_with_mask(
         args.meta_file_path, args.video_id, args.data_root,
         args.height, args.width, args.fps)
@@ -206,6 +216,8 @@ def generate_video(args, first_frame_inpaint_fn: Optional[Callable] = None,
                    replace_gt=args.replace_gt, mask_add=args.mask_add,
                    prev_clip_weight=args.prev_clip_weight,
                    id_pool_resample=bool(args.id_adapter),
+                   use_flash=getattr(args, "use_flash", False),
+                   sequential_cfg=getattr(args, "sequential_cfg", False),
                    rng=jax.random.PRNGKey(args.seed),
                    dtype={"bfloat16": jnp.bfloat16,
                           "float32": jnp.float32}[args.dtype],
@@ -245,6 +257,14 @@ def get_args(argv=None):
     p.add_argument("--first_frame_gt", action="store_true")
     p.add_argument("--long_video", action="store_true")
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--use_flash", action="store_true",
+                   help="Pallas flash attention (the on-chip hot path)")
+    p.add_argument("--int8", action="store_true",
+                   help="opt-in W8A8 int8 block projections (single-chip "
+                        "deployment mode; PSNR-gated vs full precision)")
+    p.add_argument("--sequential_cfg", action="store_true",
+                   help="uncond/cond as two passes per step - halves "
+                        "activation memory (single-chip 42L)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--profile", action="store_true",
                    help="jax.profiler trace around the denoise (SURVEY.md §5: "
