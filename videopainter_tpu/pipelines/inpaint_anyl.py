@@ -175,7 +175,12 @@ class CogVideoXI2VDualInpaintAnyLPipeline(CogVideoXI2VDualInpaintPipeline):
                 inputs = inputs._replace(
                     dpm_noises=jnp.asarray(dpm_noises_list[window_idx], dtype=dtype))
 
-            capture = window_idx < n_windows - 1
+            # Capture per-layer states only when the next window will USE
+            # them: the w=0 blend is the exact identity (a + 0*b), and the
+            # captured stack is [L, 2B, S, D] — 8.5 GiB at flagship dims,
+            # which single-handedly OOMs a 16 GB chip.
+            wants_prev = id_pool_resample or (prev_clip_weight or 0.0) > 0.0
+            capture = wants_prev and window_idx < n_windows - 1
             dcfg = dc_replace(base_dcfg, capture_hidden_states=capture)
             denoise = self._get_denoise(dcfg, timesteps)
 
