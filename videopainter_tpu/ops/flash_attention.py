@@ -10,8 +10,13 @@ traffic is O(S·D).
 Design (pallas_guide.md):
  - grid = (B*H, S_q / BLK_Q); K/V live in VMEM per (batch, head) program
  - fp32 running max/sum/accumulator; bf16 inputs hit the MXU
- - ceil-div grid over the raw sequence lengths (no padding copies); tail
-   KV columns masked with -inf in-kernel, tail V rows zeroed (static shapes)
+ - sequence lengths padded to the block size; padded keys masked with -inf
+   at compile time (static shapes — no scalar prefetch needed).
+   DO NOT switch to a ceil-div ("ragged") grid: Mosaic masks out-of-bounds
+   WRITES on edge blocks but does not guarantee OOB READ safety — the tail
+   KV DMA can cross into an unmapped page and hard-fault the device
+   (reproduced twice inside the 42L denoise scan, layout-dependent; the
+   pad copies measured time-NEUTRAL at flagship dims: 9211 vs 9213 ms/step)
 
 `flash_attention` is differentiable: a custom VJP with two Pallas backward
 kernels (dq and dk/dv) that recompute probabilities from the forward's
@@ -45,14 +50,9 @@ def _ceil_to(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
-                  scale: float, kv_len: int, with_lse: bool = False,
-                  mask_v_tail: bool = False):
+                  scale: float, kv_len: int, with_lse: bool = False):
     """Grid (bh, nq, nk): innermost nk streams KV blocks; online-softmax state
-    (m, l, acc) lives in VMEM scratch that persists across the nk iterations.
-
-    mask_v_tail: set on the ragged (ceil-div grid, unpadded arrays) path —
-    out-of-bounds V reads are unspecified bits and 0 * NaN would poison the
-    PV matmul; K garbage is already neutralized by the kv_len column mask."""
+    (m, l, acc) lives in VMEM scratch that persists across the nk iterations."""
     if with_lse:
         lse_ref, m_ref, l_ref, acc_ref = refs
     else:
@@ -82,12 +82,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
     p = jnp.exp(s - m_new)
     alpha = jnp.exp(m_prev - m_new)
     l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    vblk = v_ref[:]
-    if mask_v_tail:
-        rowk = jax.lax.broadcasted_iota(jnp.int32, (blk_k, 1), 0) + j * blk_k
-        vblk = jnp.where(rowk < kv_len, vblk, 0).astype(v_ref.dtype)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p.astype(v_ref.dtype), vblk, (((1,), (0,)), ((), ())),
+        p.astype(v_ref.dtype), v_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
     l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
@@ -100,15 +96,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("scale", "blk_q", "blk_k", "with_lse"))
-def _flash_ragged(q, k, v, scale, blk_q, blk_k, with_lse=False):
-    """Forward without sequence padding: ceil-div grid, in-kernel tail masks.
-
-    Saves the pad copies of Q/K/V, the output slice, and the wasted FLOPs on
-    pad columns (S=17776 pads to 18432 at blk_k=2048 — 3.7%). Tail-block
-    writes beyond S are masked by Mosaic; garbage tail-Q rows are discarded
-    with them. Same block shapes as the padded path, so the Mosaic tiling
-    constraints are unchanged."""
+                   static_argnames=("scale", "kv_len", "blk_q", "blk_k",
+                                    "with_lse"))
+def _flash_padded(q, k, v, scale, kv_len, blk_q, blk_k, with_lse=False):
     bh, s_q, d = q.shape
     s_k = k.shape[1]
     qspec = pl.BlockSpec((None, blk_q, d), lambda b, i, j: (b, i, 0),
@@ -118,21 +108,23 @@ def _flash_ragged(q, k, v, scale, blk_q, blk_k, with_lse=False):
     out_shapes = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
     out_specs = [qspec]
     if with_lse:
+        # lse broadcast over 128 lanes (the scratch layout) - sliced to
+        # [bh, s_q] right after the call, so the HBM cost is transient
         out_shapes.append(jax.ShapeDtypeStruct((bh, s_q, 128), jnp.float32))
         out_specs.append(pl.BlockSpec((None, blk_q, 128),
                                       lambda b, i, j: (b, i, 0),
                                       memory_space=pltpu.VMEM))
     res = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, kv_len=s_k,
-                          with_lse=with_lse, mask_v_tail=True),
-        grid=(bh, pl.cdiv(s_q, blk_q), pl.cdiv(s_k, blk_k)),
+        functools.partial(_flash_kernel, scale=scale, kv_len=kv_len,
+                          with_lse=with_lse),
+        grid=(bh, s_q // blk_q, s_k // blk_k),
         in_specs=[qspec, kvspec, kvspec],
         out_specs=out_specs if with_lse else out_specs[0],
         out_shape=out_shapes if with_lse else out_shapes[0],
         scratch_shapes=[
-            pltpu.VMEM((blk_q, 128), jnp.float32),
-            pltpu.VMEM((blk_q, 128), jnp.float32),
-            pltpu.VMEM((blk_q, d), jnp.float32),
+            pltpu.VMEM((blk_q, 128), jnp.float32),   # running max
+            pltpu.VMEM((blk_q, 128), jnp.float32),   # running denom
+            pltpu.VMEM((blk_q, d), jnp.float32),     # output accumulator
         ],
     )(q, k, v)
     if with_lse:
@@ -269,29 +261,26 @@ def _pad_qkv(q, k, v, blk_q, blk_k):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _flash(q, k, v, scale, blk_q, blk_k, bwd_blk_k):
     b, h, s_q, d = q.shape
-    out = _flash_ragged(q.reshape(b * h, s_q, d),
-                        k.reshape(b * h, -1, d),
-                        v.reshape(b * h, -1, d), scale, blk_q, blk_k)
-    return out.reshape(b, h, s_q, d)
+    qf, kf, vf = _pad_qkv(q, k, v, blk_q, blk_k)
+    out = _flash_padded(qf, kf, vf, scale, k.shape[2], blk_q, blk_k)
+    return out.reshape(b, h, -1, d)[:, :, :s_q]
 
 
 def _flash_fwd(q, k, v, scale, blk_q, blk_k, bwd_blk_k):
     b, h, s_q, d = q.shape
-    out, lse = _flash_ragged(q.reshape(b * h, s_q, d),
-                             k.reshape(b * h, -1, d),
-                             v.reshape(b * h, -1, d), scale, blk_q, blk_k,
+    qf, kf, vf = _pad_qkv(q, k, v, blk_q, blk_k)
+    out, lse = _flash_padded(qf, kf, vf, scale, k.shape[2], blk_q, blk_k,
                              with_lse=True)
-    return out.reshape(b, h, s_q, d), (q, k, v, out, lse)
+    return (out.reshape(b, h, -1, d)[:, :, :s_q],
+            (q, k, v, out, lse))
 
 
 def _flash_bwd(scale, blk_q, blk_k, bwd_blk_k, res, g):
-    q, k, v, out_r, lse_r = res            # out_r [bh, s_q, d], lse_r [bh, s_q]
+    q, k, v, out_p, lse = res
     b, h, s_q, d = q.shape
     s_k = k.shape[2]
     qf, kf, vf = _pad_qkv(q, k, v, blk_q, bwd_blk_k)
     sqp = qf.shape[1]
-    out_p = jnp.pad(out_r, ((0, 0), (0, sqp - s_q), (0, 0)))
-    lse = jnp.pad(lse_r, ((0, 0), (0, sqp - s_q)))
     dof = jnp.pad(g, ((0, 0), (0, 0), (0, sqp - s_q), (0, 0))
                   ).reshape(b * h, sqp, d)
     delta = jnp.sum(dof.astype(jnp.float32) * out_p.astype(jnp.float32),
@@ -320,11 +309,12 @@ def flash_attention_with_lse(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     b, h, s_q, d = q.shape
     if scale is None:
         scale = d ** -0.5
-    out, lse = _flash_ragged(q.reshape(b * h, s_q, d),
-                             k.reshape(b * h, -1, d),
-                             v.reshape(b * h, -1, d), float(scale), blk_q,
+    qf, kf, vf = _pad_qkv(q, k, v, blk_q, blk_k)
+    out, lse = _flash_padded(qf, kf, vf, float(scale), k.shape[2], blk_q,
                              blk_k, with_lse=True)
-    return out.reshape(b, h, s_q, d), lse.reshape(b, h, s_q)
+    out = out.reshape(b, h, -1, d)[:, :, :s_q]
+    lse = lse.reshape(b, h, -1)[:, :, :s_q]
+    return out, lse
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
