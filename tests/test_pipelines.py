@@ -164,3 +164,59 @@ def test_sequential_cfg_matches_batched():
     ref2 = pipe2(params, **kw2)
     got2 = pipe2(params, sequential_cfg=True, **kw2)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=3e-5)
+
+
+def test_scan_chunk_matches_single_scan():
+    """scan_chunk (host loop over one jitted segment — required on backends
+    that kill long-running device programs) must be bit-identical to the
+    single-scan path, incl. the anyl capture step."""
+    import numpy as np
+
+    from videopainter_tpu.config import (BranchConfig, SchedulerConfig,
+                                         TransformerConfig, VAEConfig)
+    from videopainter_tpu.models import (AutoencoderKLCogVideoX,
+                                         CogVideoXBranch,
+                                         CogVideoXTransformer3D)
+    from videopainter_tpu.pipelines import (
+        CogVideoXI2VDualInpaintAnyLPipeline, CogVideoXI2VDualInpaintPipeline)
+    from videopainter_tpu.schedulers import CogVideoXDPMScheduler
+
+    cfg = TransformerConfig.tiny(in_channels=32, out_channels=16,
+                                 sample_height=8, sample_width=12)
+    transformer = CogVideoXTransformer3D(cfg)
+    branch = CogVideoXBranch(BranchConfig.from_transformer(cfg, num_layers=2))
+    vae = AutoencoderKLCogVideoX(VAEConfig.tiny(latent_channels=16))
+    params = {"transformer": transformer.init(jax.random.PRNGKey(0)),
+              "vae": vae.init(jax.random.PRNGKey(1))}
+    params["branch"] = branch.init_from_transformer(jax.random.PRNGKey(2),
+                                                    params["transformer"], cfg)
+    sched = CogVideoXDPMScheduler(SchedulerConfig.cogvideox_5b_inference())
+    rng = np.random.RandomState(0)
+    embeds = jnp.asarray(rng.rand(1, 5, 12).astype(np.float32))
+
+    pipe = CogVideoXI2VDualInpaintPipeline(transformer, branch, vae, sched)
+    video = jnp.asarray(rng.rand(1, 9, 64, 96, 3).astype(np.float32)) * 2 - 1
+    masks = np.zeros((1, 9, 64, 96), np.float32)
+    masks[:, :, 16:40, 24:64] = 1.0
+    kw = dict(video=video, masks=jnp.asarray(masks), image=video[:, 0],
+              prompt_embeds=embeds, negative_prompt_embeds=jnp.zeros_like(embeds),
+              num_inference_steps=5, guidance_scale=6.0, use_dynamic_cfg=True,
+              replace_gt=True, mask_add=True, vae_sample_mode="mode",
+              rng=jax.random.PRNGKey(7))
+    ref = pipe(params, scan_chunk=0, **kw)
+    got = pipe(params, scan_chunk=2, **kw)  # 5 % 2 -> divisor fallback
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    pipe2 = CogVideoXI2VDualInpaintAnyLPipeline(transformer, branch, vae, sched)
+    video2 = jnp.asarray(rng.rand(1, 17, 64, 96, 3).astype(np.float32)) * 2 - 1
+    masks2 = np.zeros((1, 17, 64, 96), np.float32)
+    masks2[:, :, 10:30, 20:60] = 1.0
+    kw2 = dict(video=video2, masks=jnp.asarray(masks2), image=video2[:, 0],
+               num_frames=9, stride=4, prompt_embeds=embeds,
+               negative_prompt_embeds=jnp.zeros_like(embeds),
+               num_inference_steps=4, guidance_scale=6.0, replace_gt=True,
+               mask_add=True, id_pool_resample=True, prev_clip_weight=0.3,
+               vae_sample_mode="mode", rng=jax.random.PRNGKey(9))
+    ref2 = pipe2(params, scan_chunk=0, **kw2)
+    got2 = pipe2(params, scan_chunk=2, **kw2)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref2))

@@ -128,6 +128,9 @@ class DenoiseConfig:
     dpm_sde: bool = True                  # draw SDE noise each DPM step
     sequential_cfg: bool = False          # uncond/cond as two B-sized passes
                                           # (halves activation peak; 1-chip)
+    scan_chunk: int = 0                   # >0: dispatch the scan in chunks of
+                                          # this many steps (axon: long single
+                                          # dispatches are killed)
     # "dual": branch -> backbone injection (flagship);
     # "sft": cond channels concatenated straight into the widened backbone
     #        (pipeline_cogvideox_inpainting_sft.py:852, no branch);
@@ -364,6 +367,8 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
         if fn is not None:
             fn(int(i))
 
+    _chunk_cache: Dict[str, Any] = {}
+
     def denoise(params, inputs: DenoiseInputs, rope, rng, prev_state=None):
         n_scan = S - 1 if dcfg.capture_hidden_states else S
         step_keys = jax.random.split(rng, S)
@@ -378,19 +383,68 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
             return (latents, x0), ()
 
         init = (inputs.latents, jnp.zeros_like(inputs.latents))
-        (latents, old_x0), _ = jax.lax.scan(body, init, jnp.arange(n_scan))
+        if dcfg.scan_chunk and dcfg.scan_chunk < n_scan:
+            # Chunked dispatch: the flagship 50-step scan is a single
+            # ~7-minute device program, and the axon tunnel kills
+            # long-running dispatches (UNAVAILABLE "kernel fault"); a host
+            # loop over one jitted `chunk`-step segment (compiled once —
+            # the segment start index is a traced scalar) keeps every
+            # dispatch short. Also gives per-chunk host progress where
+            # debug.callback is unsupported. Numerically identical: the
+            # same step sequence with the same keys/coefficients.
+            chunk = dcfg.scan_chunk
+            while n_scan % chunk:   # largest divisor => one compiled segment
+                chunk -= 1
+            if "seg" not in _chunk_cache:
+                def seg_fn(params, inputs, rope, prev_state, step_keys,
+                           carry, start):
+                    def seg_body(carry, i):
+                        latents, old_x0 = carry
+                        out = model_step(params, inputs, rope, latents, i,
+                                         prev_state, capture=False)
+                        latents, x0 = scheduler_and_blend(
+                            inputs, latents, old_x0, out.sample, i,
+                            step_keys[i])
+                        return (latents, x0), ()
+                    return jax.lax.scan(seg_body, carry,
+                                        jnp.arange(chunk) + start)[0]
+                _chunk_cache["seg"] = jax.jit(seg_fn)
+            seg = _chunk_cache["seg"]
+            carry = init
+            for s0 in range(0, n_scan, chunk):
+                carry = seg(params, inputs, rope, prev_state, step_keys,
+                            carry, jnp.asarray(s0))
+                _notify(s0 + chunk - 1)
+            latents, old_x0 = carry
+        else:
+            (latents, old_x0), _ = jax.lax.scan(body, init, jnp.arange(n_scan))
 
         hidden_states_list = None
         resample_mask = None
         if dcfg.capture_hidden_states:
             i = S - 1
-            out = model_step(params, inputs, rope, latents, i, prev_state, capture=True)
-            latents, _ = scheduler_and_blend(inputs, latents, old_x0,
+
+            def final_fn(params, inputs, rope, prev_state, step_keys, latents,
+                         old_x0):
+                out = model_step(params, inputs, rope, latents, i, prev_state,
+                                 capture=True)
+                lat, _ = scheduler_and_blend(inputs, latents, old_x0,
                                              out.sample, i, step_keys[i])
-            if dcfg.with_progress:
-                jax.debug.callback(_notify, jnp.asarray(i))
-            hidden_states_list = out.hidden_states_list
-            resample_mask = out.resample_mask
+                return lat, out.hidden_states_list, out.resample_mask
+
+            if dcfg.scan_chunk and dcfg.scan_chunk < n_scan:
+                if "final" not in _chunk_cache:
+                    _chunk_cache["final"] = jax.jit(final_fn)
+                latents, hidden_states_list, resample_mask = \
+                    _chunk_cache["final"](params, inputs, rope, prev_state,
+                                          step_keys, latents, old_x0)
+                _notify(i)
+            else:
+                latents, hidden_states_list, resample_mask = final_fn(
+                    params, inputs, rope, prev_state, step_keys, latents,
+                    old_x0)
+                if dcfg.with_progress:
+                    jax.debug.callback(_notify, jnp.asarray(i))
         return latents, hidden_states_list, resample_mask
 
     return denoise

@@ -150,7 +150,10 @@ class CogVideoXI2VDualInpaintPipeline:
             fn = make_denoise_fn(self.transformer, self.branch, self.scheduler,
                                  dcfg, timesteps,
                                  progress_cell=self._progress_cell)
-            self._denoise_cache[key] = jax.jit(fn)
+            # chunked mode is a host loop over an inner-jitted segment —
+            # wrapping it in an outer jit would inline everything back into
+            # one long device program (the thing scan_chunk exists to avoid)
+            self._denoise_cache[key] = fn if dcfg.scan_chunk else jax.jit(fn)
         return self._denoise_cache[key]
 
     # ------------------------------------------------------------------
@@ -181,6 +184,7 @@ class CogVideoXI2VDualInpaintPipeline:
         output_type: str = "np",
         use_flash: bool = False,
         sequential_cfg: bool = False,
+        scan_chunk: int = None,   # None -> auto (5 on axon, 0 = one program)
         seq_axis: Optional[str] = None,
         ring_mesh=None,
         progress_fn: Optional[Any] = None,   # called with (step, total_steps)
@@ -244,6 +248,8 @@ class CogVideoXI2VDualInpaintPipeline:
             is_dpm=isinstance(self.scheduler, CogVideoXDPMScheduler),
             use_flash=use_flash, seq_axis=seq_axis, ring_mesh=ring_mesh,
             sequential_cfg=sequential_cfg,
+            scan_chunk=(scan_chunk if scan_chunk is not None else
+                        (5 if not supports_host_callbacks() else 0)),
             with_progress=progress_fn is not None and supports_host_callbacks(),
             mode=self._mode)
         denoise = self._get_denoise(dcfg, timesteps)
