@@ -33,12 +33,21 @@ def supports_host_callbacks() -> bool:
 
     The axon PJRT tunnel raises UNIMPLEMENTED for host send/recv callbacks;
     pipelines silently downgrade per-step progress to per-call progress there
-    instead of crashing the denoise scan.
+    instead of crashing the denoise scan. NOTE: `jax.default_backend()`
+    reports plain "tpu" under axon — the tunnel is only visible in the env
+    (its sitecustomize exports JAX_PLATFORMS=axon / PALLAS_AXON_* vars).
     """
-    try:
-        return jax.default_backend() != "axon"
-    except Exception:
-        return True
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "") == "axon" or \
+            os.environ.get("PALLAS_AXON_REMOTE_COMPILE"):
+        try:
+            # env says axon, but the process may have forced another backend
+            # (tests set jax_platforms="cpu" before init)
+            return jax.default_backend() != "tpu"
+        except Exception:
+            return False
+    return True
 
 
 def get_strength_timesteps(timesteps: np.ndarray, num_inference_steps: int,
@@ -410,10 +419,21 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
                                         jnp.arange(chunk) + start)[0]
                 _chunk_cache["seg"] = jax.jit(seg_fn)
             seg = _chunk_cache["seg"]
+
+            def _sync(x):
+                # scalar FETCH, not block_until_ready — the tunnel's limit is
+                # on blocking-RPC duration (waiting on 10 queued segments is
+                # one ~7 min wait and gets killed exactly like one long
+                # program), and block_until_ready doesn't reliably block
+                # through it (CLAUDE.md)
+                float(jnp.sum(x[:, 0, 0, 0, 0].astype(jnp.float32)))
+
+            _sync(inputs.latents)      # drain pending VAE-prep dispatches
             carry = init
             for s0 in range(0, n_scan, chunk):
                 carry = seg(params, inputs, rope, prev_state, step_keys,
                             carry, jnp.asarray(s0))
+                _sync(carry[0])        # per-segment: no wait exceeds ~chunk steps
                 _notify(s0 + chunk - 1)
             latents, old_x0 = carry
         else:

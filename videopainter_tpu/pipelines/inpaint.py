@@ -184,7 +184,7 @@ class CogVideoXI2VDualInpaintPipeline:
         output_type: str = "np",
         use_flash: bool = False,
         sequential_cfg: bool = False,
-        scan_chunk: int = None,   # None -> auto (5 on axon, 0 = one program)
+        scan_chunk: int = None,   # None -> auto (4 on axon, 0 = one program)
         seq_axis: Optional[str] = None,
         ring_mesh=None,
         progress_fn: Optional[Any] = None,   # called with (step, total_steps)
@@ -249,7 +249,7 @@ class CogVideoXI2VDualInpaintPipeline:
             use_flash=use_flash, seq_axis=seq_axis, ring_mesh=ring_mesh,
             sequential_cfg=sequential_cfg,
             scan_chunk=(scan_chunk if scan_chunk is not None else
-                        (5 if not supports_host_callbacks() else 0)),
+                        (4 if not supports_host_callbacks() else 0)),
             with_progress=progress_fn is not None and supports_host_callbacks(),
             mode=self._mode)
         denoise = self._get_denoise(dcfg, timesteps)
