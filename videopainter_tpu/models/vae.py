@@ -636,6 +636,8 @@ class VAEStreamDecoder:
         limit_h = vae.tile_sample_min_height - blend_h
         limit_w = vae.tile_sample_min_width - blend_w
 
+        from ..pipelines.common import supports_host_callbacks
+        sync_tiles = not supports_host_callbacks()   # axon: see note below
         rows = []
         for i in range(0, height, overlap_h):
             row = []
@@ -646,6 +648,13 @@ class VAEStreamDecoder:
                                          (i, j) in self.caches)
                 y, cache = fn(self.params["decoder"], tile, self.caches.get((i, j)))
                 self.caches[(i, j)] = cache
+                if sync_tiles:
+                    # the axon allocator does not backpressure eager allocs
+                    # (the next tile's slice) against in-flight decoder
+                    # programs — with the DiT resident the heap is tight and
+                    # the un-synced tile queue OOMs. A scalar fetch per tile
+                    # bounds in-flight arenas to one tile program.
+                    float(jnp.sum(y[:, 0, 0, 0, :1].astype(jnp.float32)))
                 row.append(y)
             rows.append(row)
         result_rows = []
