@@ -65,7 +65,11 @@ def main():
     transformer = CogVideoXTransformer3D(cfg)
     branch = CogVideoXBranch(bcfg)
     vae = AutoencoderKLCogVideoX(VAEConfig())
-    vae.enable_tiling()
+    # single-chip: the DiT stays resident during decode, so shrink the
+    # decoder working set — half-size tiles (120x180 px) and 1-latent-frame
+    # batches cut the per-program temp arena ~8x vs the default 240x360/2
+    vae.enable_tiling(tile_sample_min_height=120, tile_sample_min_width=180)
+    vae.num_latent_frames_batch_size = 1
     sched = CogVideoXDPMScheduler(SchedulerConfig.cogvideox_5b_inference())
 
     t0 = time.time()
