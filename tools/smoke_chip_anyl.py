@@ -66,9 +66,11 @@ def main():
     branch = CogVideoXBranch(bcfg)
     vae = AutoencoderKLCogVideoX(VAEConfig())
     # single-chip: the DiT stays resident during decode, so shrink the
-    # decoder working set — half-size tiles (120x180 px) and 1-latent-frame
-    # batches cut the per-program temp arena ~8x vs the default 240x360/2
-    vae.enable_tiling(tile_sample_min_height=120, tile_sample_min_width=180)
+    # decoder working set — 1-latent-frame batches halve the per-program
+    # temp arena (group-norm f32 temps dominate; see CLAUDE.md). Tile dims
+    # stay at the reference 240x360: non-multiple-of-8 tiles break the
+    # latent-grid arithmetic.
+    vae.enable_tiling()
     vae.num_latent_frames_batch_size = 1
     sched = CogVideoXDPMScheduler(SchedulerConfig.cogvideox_5b_inference())
 
