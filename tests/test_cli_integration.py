@@ -109,6 +109,7 @@ def test_cli_generate_video_int8_sequential(tmp_path):
         "--num_frames", "9", "--num_inference_steps", "2",
         "--replace_gt", "--mask_add", "--first_frame_gt",
         "--dtype", "float32", "--int8", "--sequential_cfg",
+        "--vae_frame_batch", "1",
     ])
     out01 = generate_video(args)
     assert out01.shape == (9, 64, 96, 3)

@@ -93,3 +93,26 @@ def test_roundtrip_shapes():
     y = vae.decode(params, dist.mode())
     assert y.shape == (1, 17, 64, 96, 3)
     assert bool(jnp.isfinite(y).all())
+
+
+def test_decode_fbs1_frame_count():
+    """num_latent_frames_batch_size=1 (single-chip low-memory decode): later
+    chunks arrive at the upsampler with t==1 and must still be time-doubled —
+    the first-frame special case applies only to the stream's first chunk.
+    Regression: this used to yield T' frames instead of 4(T'-1)+1."""
+    import jax
+
+    vae = AutoencoderKLCogVideoX(TINY)
+    params = vae.init(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 8, 12, 4)) * 0.5
+
+    vae.num_latent_frames_batch_size = 1
+    y1 = vae.decode(params, z)
+    assert y1.shape == (1, 17, 64, 96, 3)
+    assert bool(jnp.isfinite(y1).all())
+
+    # fbs only changes group-norm statistic windows (stats span T), so the
+    # chunked stream must stay close to the default fbs=2 decode.
+    vae.num_latent_frames_batch_size = 2
+    y2 = vae.decode(params, z)
+    assert np.corrcoef(np.asarray(y1).ravel(), np.asarray(y2).ravel())[0, 1] > 0.9

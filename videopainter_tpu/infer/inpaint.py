@@ -161,6 +161,9 @@ def generate_video(args, first_frame_inpaint_fn: Optional[Callable] = None,
     pipe, params = build_pipeline(args.model_path, args.inpainting_branch,
                                   args.id_adapter, args.dtype, args.long_video)
 
+    if getattr(args, "vae_frame_batch", 0):
+        pipe.vae.num_latent_frames_batch_size = args.vae_frame_batch
+
     if getattr(args, "int8", False):
         # single-chip deployment mode: W8A8 block projections; on a 16 GB
         # chip the bf16 42L stack cannot share HBM with the VAE (CLAUDE.md)
@@ -265,6 +268,10 @@ def get_args(argv=None):
     p.add_argument("--sequential_cfg", action="store_true",
                    help="uncond/cond as two passes per step - halves "
                         "activation memory (single-chip 42L)")
+    p.add_argument("--vae_frame_batch", type=int, default=0,
+                   help="latent frames per VAE decoder dispatch (0 = model "
+                        "default 2; 1 halves decoder memory - needed when "
+                        "the DiT stays resident on one chip)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--profile", action="store_true",
                    help="jax.profiler trace around the denoise (SURVEY.md §5: "

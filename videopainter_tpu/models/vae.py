@@ -169,12 +169,22 @@ def downsample3d(p: dict, x: jnp.ndarray, *, compress_time: bool) -> jnp.ndarray
     return y.reshape(b, t, *y.shape[1:])
 
 
-def upsample3d(p: dict, x: jnp.ndarray, *, compress_time: bool) -> jnp.ndarray:
+def upsample3d(p: dict, x: jnp.ndarray, *, compress_time: bool,
+               first_chunk: bool = True) -> jnp.ndarray:
     """CogVideoXUpsample3D (upsampling.py:351-414): nearest ×2 (time doubled for
-    all but a kept first frame when odd), then 3x3 conv pad 1."""
+    all but a kept first frame when odd), then 3x3 conv pad 1.
+
+    `first_chunk`: the reference keys "is this the causal first frame" off
+    t==1 / t odd, which only holds because its frame batching folds the
+    remainder into chunk 0 so later chunks always arrive with even t. With
+    num_latent_frames_batch_size=1 (single-chip low-memory decode) later
+    chunks also have t==1 and must be FULLY time-doubled — the first-frame
+    special case applies only to the first chunk of a causal stream."""
     if compress_time:
         t = x.shape[1]
-        if t > 1 and t % 2 == 1:
+        if not first_chunk:
+            x = jnp.repeat(_repeat2x_spatial(x), 2, axis=1)
+        elif t > 1 and t % 2 == 1:
             x_first = _repeat2x_spatial(x[:, :1])
             x_rest = jnp.repeat(_repeat2x_spatial(x[:, 1:]), 2, axis=1)
             x = jnp.concatenate([x_first, x_rest], axis=1)
@@ -235,6 +245,7 @@ def decoder_apply(params: dict, cfg: VAEConfig, z: jnp.ndarray,
                   cache: Cache = None) -> Tuple[jnp.ndarray, dict]:
     """CogVideoXDecoder3D (reference :745-883). z: [B, T, h, w, latent] →
     ([B, T*4(-3), H, W, 3], cache). zq conditioning = the decoder input z."""
+    first_chunk = cache is None  # causal stream start (see upsample3d)
     cache = cache or {}
     new_cache: Dict[str, Any] = {}
     g = cfg.norm_num_groups
@@ -256,7 +267,9 @@ def decoder_apply(params: dict, cfg: VAEConfig, z: jnp.ndarray,
         for j, rp in enumerate(blk["resnets"]):
             h, nb[f"res_{j}"] = resnet_block3d(rp, h, z, bcache.get(f"res_{j}"), num_groups=g)
         if "upsampler" in blk:
-            h = upsample3d(blk["upsampler"]["conv"], h, compress_time=i < temporal_levels)
+            h = upsample3d(blk["upsampler"]["conv"], h,
+                           compress_time=i < temporal_levels,
+                           first_chunk=first_chunk)
         new_cache[bkey] = nb
 
     h = spatial_norm3d(params["norm_out"], h, z, num_groups=g)
