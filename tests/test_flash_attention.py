@@ -157,3 +157,66 @@ def test_flash_resample_and_prev_paths_match_exact():
                                    rtol=3e-5, atol=3e-5, err_msg=str(kw.keys()))
         np.testing.assert_allclose(np.asarray(out_e), np.asarray(ref_e),
                                    rtol=3e-5, atol=3e-5, err_msg=str(kw.keys()))
+
+
+@pytest.mark.parametrize("s_q,s_k,int8_pv", [(256, 512, False), (300, 300, False),
+                                             (300, 300, True), (129, 1111, False)])
+def test_flash_int8_close_to_exact(s_q, s_k, int8_pv):
+    """int8-QK^T (SageAttention-style) kernel: per-head quantization error only
+    — must track exact SDPA to ~1% relative L1 on gaussian data at the
+    production head_dim (noise scales ~1/sqrt(d); d=16 would need 2-3%)."""
+    from videopainter_tpu.ops.flash_attention_int8 import flash_attention_int8
+
+    q, k, v = make_qkv(s_q, s_k, d=64)
+    # non-zero K common mode exercises the (exact) mean-centering path
+    k = k + 0.7
+    ref = np.asarray(sdpa(q, k, v))
+    with jax.experimental.pallas.tpu.force_tpu_interpret_mode() if hasattr(
+            jax.experimental.pallas, "tpu") else _null():
+        out = np.asarray(flash_attention_int8(q, k, v, blk_q=128, blk_k=128,
+                                              int8_pv=int8_pv))
+    # int8's information floor on gaussian data is ~1.2% rel-L1 vs exact f32
+    # (uniform step max/127 -> ~1% per-value noise; softmax averaging over
+    # hundreds of keys shrinks |ref| but not the noise). Real quality is
+    # gated at pipeline level (PSNR vs bf16-flash, tools/smoke + bench).
+    rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-9)
+    assert rel < (0.035 if int8_pv else 0.025), rel
+    cos = (out.ravel() @ ref.ravel()) / (
+        np.linalg.norm(out) * np.linalg.norm(ref) + 1e-9)
+    assert cos > 0.999, cos
+
+
+def test_int8_attention_routes_all_processor_variants():
+    """use_flash="int8" must route every processor variant (base, ID-resample,
+    prev-clip blend, combined) through the int8 kernel with only quantization
+    noise vs the exact path (cos similarity; exact parity is the bf16 kernel's
+    job — test above)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from videopainter_tpu.ops.attention import init_attention, joint_attention
+
+    p = init_attention(jax.random.PRNGKey(0), 32, num_heads=2)
+    h = jax.random.normal(jax.random.PRNGKey(1), (2, 24, 32))
+    e = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 32))
+    mask = jax.random.uniform(jax.random.PRNGKey(3), (2, 29)) > 0.5
+    prev = jax.random.normal(jax.random.PRNGKey(4), (2, 29, 32))
+    pmask = jax.random.uniform(jax.random.PRNGKey(5), (2, 29)) > 0.5
+
+    cases = [
+        dict(),
+        dict(resample_mask=mask),
+        dict(prev_hidden_states=prev, prev_clip_weight=0.3),
+        dict(prev_hidden_states=prev, prev_clip_weight=0.4,
+             prev_resample_mask=pmask),
+    ]
+    for kw in cases:
+        ref_h, ref_e = joint_attention(p, h, e, num_heads=2, **kw)
+        with pltpu.force_tpu_interpret_mode():
+            out_h, out_e = joint_attention(p, h, e, num_heads=2,
+                                           use_flash="int8", **kw)
+        for o, r in ((out_h, ref_h), (out_e, ref_e)):
+            o, r = np.asarray(o), np.asarray(r)
+            assert o.shape == r.shape
+            cos = (o.ravel() @ r.ravel()) / (
+                np.linalg.norm(o) * np.linalg.norm(r) + 1e-9)
+            assert cos > 0.995, (kw.keys(), cos)

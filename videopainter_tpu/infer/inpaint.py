@@ -219,7 +219,8 @@ def generate_video(args, first_frame_inpaint_fn: Optional[Callable] = None,
                    replace_gt=args.replace_gt, mask_add=args.mask_add,
                    prev_clip_weight=args.prev_clip_weight,
                    id_pool_resample=bool(args.id_adapter),
-                   use_flash=getattr(args, "use_flash", False),
+                   use_flash=("int8" if getattr(args, "int8_attn", False)
+                              else getattr(args, "use_flash", False)),
                    sequential_cfg=getattr(args, "sequential_cfg", False),
                    rng=jax.random.PRNGKey(args.seed),
                    dtype={"bfloat16": jnp.bfloat16,
@@ -262,6 +263,10 @@ def get_args(argv=None):
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--use_flash", action="store_true",
                    help="Pallas flash attention (the on-chip hot path)")
+    p.add_argument("--int8_attn", action="store_true",
+                   help="SageAttention-style int8-QK^T flash attention "
+                        "(implies --use_flash; 2x MXU rate on the kernel "
+                        "that is 60%% of the step)")
     p.add_argument("--int8", action="store_true",
                    help="opt-in W8A8 int8 block projections (single-chip "
                         "deployment mode; PSNR-gated vs full precision)")

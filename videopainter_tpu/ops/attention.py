@@ -49,6 +49,17 @@ def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
+def _pick_flash(use_flash):
+    """use_flash=True -> bf16 Pallas kernel; "int8" -> SageAttention-style
+    int8-QK^T kernel (inference-only deployment mode, like the W8A8 block
+    projections in quantize.py)."""
+    if use_flash == "int8":
+        from .flash_attention_int8 import flash_attention_int8
+        return flash_attention_int8
+    from .flash_attention import flash_attention
+    return flash_attention
+
+
 def _rope_video_slice(x: jnp.ndarray, rope, text_len: int) -> jnp.ndarray:
     """Apply RoPE only to positions [text_len:] of [B, H, S, D]."""
     if rope is None:
@@ -70,7 +81,7 @@ def joint_attention(
     prev_hidden_states: Optional[jnp.ndarray] = None,   # [B, S_joint, D] (pre-normed)
     prev_clip_weight: Optional[float] = None,
     prev_resample_mask: Optional[jnp.ndarray] = None,   # bool [B, S_joint]
-    use_flash: bool = False,
+    use_flash: bool = False,   # False | True | "int8" (SageAttention-style)
     ring_axis: Optional[str] = None,
     ring_mesh=None,
     qk_norm_eps: float = 1e-6,
@@ -147,8 +158,7 @@ def joint_attention(
         v = jnp.concatenate([v, vm], axis=2)
         if use_flash:
             # S_kv = 2*S_q — the kernel takes ragged/asymmetric kv lengths
-            from .flash_attention import flash_attention
-            out = flash_attention(q, k, v)
+            out = _pick_flash(use_flash)(q, k, v)
         else:
             out = sdpa(q, k, v)
     elif has_prev:
@@ -169,9 +179,8 @@ def joint_attention(
             # the blend is linear in the attention OUTPUTS (:2156-2189), so
             # two flash calls replace the two SDPAs — at 17,776 tokens the
             # exact path's score matrix cannot materialize on a chip
-            from .flash_attention import flash_attention
-            out = (flash_attention(q, k, v) * (1.0 - w)
-                   + flash_attention(q, pk, pv) * w)
+            fa = _pick_flash(use_flash)
+            out = fa(q, k, v) * (1.0 - w) + fa(q, pk, pv) * w
         else:
             out = sdpa(q, k, v) * (1.0 - w) + sdpa(q, pk, pv) * w
     elif ring_axis is not None and ring_mesh is not None and text_len > 0:
@@ -187,8 +196,7 @@ def joint_attention(
         out = jnp.concatenate([out_t, out_v], axis=2)
     else:
         if use_flash:
-            from .flash_attention import flash_attention
-            out = flash_attention(q, k, v)
+            out = _pick_flash(use_flash)(q, k, v)
         else:
             out = sdpa(q, k, v)
 
