@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="W8A8 int8 block projections (opt-in fast mode, "
                          "~1%% relative output error; videopainter_tpu.quantize)")
+    ap.add_argument("--int8-attn", action="store_true",
+                    help="SageAttention-style int8-QK^T flash attention "
+                         "(ops/flash_attention_int8.py; implies flash)")
     args = ap.parse_args()
 
     import jax
@@ -61,7 +64,7 @@ def main():
         # (CFG-batched — the int8 stack leaves room), attached as detail.
         import subprocess
 
-        def run_rung(extra, timeout=3000):
+        def run_rung(extra, timeout=3600):
             cmd = [sys.executable, __file__, "--steps", str(args.steps)] + \
                   extra + (["--skip-vae"] if args.skip_vae else []) + \
                   (["--fuse-qkv"] if args.fuse_qkv else [])
@@ -86,19 +89,28 @@ def main():
                 break
         if headline is None:
             raise SystemExit("all bench ladder sizes failed")
-        fast = run_rung(["--layers", "42", "--int8", "--skip-vae"])
-        if fast:
-            vae_s = headline["detail"].get("vae_decode_s") or 0.0
-            fast_clip = args.steps * fast["detail"]["step_ms_measured"] / 1e3 \
-                + vae_s
-            headline["detail"]["int8_fast_mode"] = {
-                "step_ms_measured": fast["detail"]["step_ms_measured"],
-                "layers_measured": fast["detail"]["layers_measured"],
-                "clips_per_min_per_chip": round(60.0 / fast_clip, 4),
-                "vs_baseline": round(60.0 / fast_clip / 0.125, 3),
-                "note": "opt-in W8A8 block projections; PSNR-gated vs full "
-                        "precision (tests/test_quantize.py)",
-            }
+        vae_s = headline["detail"].get("vae_decode_s") or 0.0
+
+        def attach_fast(key, extra, note):
+            fast = run_rung(["--layers", "42", "--skip-vae"] + extra)
+            if fast:
+                fclip = args.steps * fast["detail"]["step_ms_measured"] / 1e3 \
+                    + vae_s
+                headline["detail"][key] = {
+                    "step_ms_measured": fast["detail"]["step_ms_measured"],
+                    "layers_measured": fast["detail"]["layers_measured"],
+                    "clips_per_min_per_chip": round(60.0 / fclip, 4),
+                    "vs_baseline": round(60.0 / fclip / 0.125, 3),
+                    "note": note,
+                }
+
+        attach_fast("int8_fast_mode", ["--int8"],
+                    "opt-in W8A8 block projections; PSNR-gated vs full "
+                    "precision (tests/test_quantize.py)")
+        attach_fast("int8_full_fast_mode", ["--int8", "--int8-attn"],
+                    "W8A8 projections + SageAttention-style int8-QK^T flash "
+                    "(the production serving config; quality gated in "
+                    "tests/test_quantize.py + test_flash_attention.py)")
         print(json.dumps(headline))
         return
 
@@ -166,7 +178,7 @@ def main():
     rope = prepare_rope(cfg, H_lat * 8, W_lat * 8, T_lat, 8)
     rope = (rope[0].astype(dtype), rope[1].astype(dtype))
 
-    use_flash = not args.tiny
+    use_flash = "int8" if args.int8_attn else (not args.tiny)
 
     def forward_one(params, latents, masked, image_latents, mask, embeds_b,
                     rope, ts):
@@ -270,6 +282,7 @@ def main():
             "layers_measured": cfg.num_layers,
             "cfg_mode": "sequential" if args.seq_cfg else "batched",
             "int8": args.int8,
+            "int8_attn": args.int8_attn,
             # flash block sweep history (round 1, S=17776 d=64): best 512x2048
             # @ ~55-61 TF/s; tried 256x1024/512x1024/512x4096/808x1616/
             # 1024x2048 (slower), 1024x4096/2048x2048/1616x1616 (fail compile/

@@ -145,3 +145,51 @@ def test_quantize_after_fuse_qkv():
     ref_n, got_n = np.asarray(ref), np.asarray(got)
     cos = (ref_n * got_n).sum() / (np.linalg.norm(ref_n) * np.linalg.norm(got_n))
     assert cos > 0.995, cos
+
+
+def test_pipeline_int8_attention_quality():
+    """End-to-end quality gate for use_flash="int8" (SageAttention-style
+    int8-QK^T kernel, interpret mode on CPU): the full serving config is
+    int8 projections + int8 attention, so gate their combination too."""
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from videopainter_tpu.config import (BranchConfig, SchedulerConfig,
+                                         VAEConfig)
+    from videopainter_tpu.models import (AutoencoderKLCogVideoX, CogVideoXBranch)
+    from videopainter_tpu.pipelines import CogVideoXI2VDualInpaintPipeline
+    from videopainter_tpu.schedulers import CogVideoXDPMScheduler
+
+    cfg = TransformerConfig.tiny(in_channels=32, out_channels=16,
+                                 sample_height=8, sample_width=12)
+    transformer = CogVideoXTransformer3D(cfg)
+    branch = CogVideoXBranch(BranchConfig.from_transformer(cfg, num_layers=2))
+    vae = AutoencoderKLCogVideoX(VAEConfig.tiny(latent_channels=16))
+    params = {"transformer": transformer.init(jax.random.PRNGKey(0)),
+              "vae": vae.init(jax.random.PRNGKey(1))}
+    params["branch"] = branch.init_from_transformer(jax.random.PRNGKey(2),
+                                                    params["transformer"], cfg)
+    pipe = CogVideoXI2VDualInpaintPipeline(
+        transformer, branch, vae,
+        CogVideoXDPMScheduler(SchedulerConfig.cogvideox_5b_inference()))
+
+    rng = np.random.RandomState(0)
+    video = jnp.asarray(rng.rand(1, 9, 64, 96, 3).astype(np.float32)) * 2 - 1
+    masks = np.zeros((1, 9, 64, 96), np.float32)
+    masks[:, :, 16:40, 24:64] = 1.0
+    embeds = jnp.asarray(rng.rand(1, 5, 12).astype(np.float32))
+    kw = dict(video=video, masks=jnp.asarray(masks), image=video[:, 0],
+              prompt_embeds=embeds, negative_prompt_embeds=jnp.zeros_like(embeds),
+              num_inference_steps=2, guidance_scale=6.0, replace_gt=True,
+              mask_add=True, vae_sample_mode="mode", rng=jax.random.PRNGKey(7))
+    ref = pipe(params, **kw)
+
+    qparams = dict(params)
+    qparams["transformer"] = quantize_transformer_int8(params["transformer"])
+    qparams["branch"] = quantize_transformer_int8(params["branch"])
+    with pltpu.force_tpu_interpret_mode():
+        got = pipe(qparams, use_flash="int8", **kw)
+
+    mse = float(np.square(np.asarray(got) / 2 - np.asarray(ref) / 2).mean())
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 25.0, f"int8+int8attn pipeline PSNR {psnr:.1f} dB"
