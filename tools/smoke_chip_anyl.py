@@ -38,7 +38,13 @@ def main():
                     help="VideoPainterID mode: cross-window ID resampling + "
                          "prev-clip blend (stores 42 x [S,3072] hidden states "
                          "between windows - tightest memory config)")
-    ap.add_argument("--stream-decode", action="store_true", default=True)
+    ap.add_argument("--stream-decode", action="store_true", default=False,
+                    help="per-window streaming decode - needs a second chip "
+                         "(vae_device) worth of HBM for the per-tile conv "
+                         "caches; the single-chip config decodes one-shot")
+    ap.add_argument("--int8_attn", action="store_true",
+                    help="SageAttention-style int8-QK^T flash attention "
+                         "(the full production fast mode)")
     args = ap.parse_args()
 
     import jax
@@ -122,7 +128,8 @@ def main():
         use_dynamic_cfg=True, replace_gt=True, mask_add=True,
         id_pool_resample=args.resample, sequential_cfg=True,
         prev_clip_weight=0.3 if args.resample else 0.0,
-        rng=jax.random.PRNGKey(42), use_flash=True,
+        rng=jax.random.PRNGKey(42),
+        use_flash=("int8" if args.int8_attn else True),
         stream_decode=args.stream_decode, dtype=dtype)
     out = np.asarray(out)
     wall = time.time() - t0
@@ -132,6 +139,7 @@ def main():
     print(f"E2E OK: {out.shape}, {n_windows} windows, {wall:.1f}s wall "
           f"({wall/n_windows:.1f}s/window incl. compile), "
           f"mode={'bf16' if args.bf16 else 'int8'}"
+          f"{'+int8attn' if args.int8_attn else ''}"
           f"{'+resample' if args.resample else ''}")
 
 

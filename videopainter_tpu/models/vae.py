@@ -613,6 +613,14 @@ class VAEStreamDecoder:
     conv caches (one cache per spatial tile under tiling) and emitted. Spatial
     tile blending only mixes values within a timestep, so blending chunk by
     chunk is exact.
+
+    MEMORY: time-streaming requires holding causal conv caches for EVERY
+    spatial tile simultaneously (~0.5 GiB/tile at flagship dims, 9 tiles),
+    unlike one-shot tiled decode which finishes a tile before the next and
+    peaks at ONE tile's caches. Use stream decode when the VAE runs on its
+    own chip (vae_device) — on a single chip next to a resident DiT the
+    cache working set does not fit; decode one-shot after the window loop
+    instead (measured: 42L int8 + stream decode OOMs a 16 GiB v5e).
     """
 
     def __init__(self, vae: AutoencoderKLCogVideoX, params: dict, total_t: int):
