@@ -103,7 +103,9 @@ def _int8_flash(q_i8, k_i8, v, sm_scale, deq_scale, kv_len, blk_q, blk_k,
 
 
 def timeit(fn, iters):
-    fn()  # compile + warm
+    # warm + BLOCK: the axon dispatch is async, so without a forced fetch the
+    # remote compile leaks into the timed window
+    _ = float(jnp.sum(fn().astype(jnp.float32)))
     t0 = time.time()
     for _ in range(iters):
         out = fn()
