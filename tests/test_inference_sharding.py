@@ -164,3 +164,23 @@ def test_transformer_ring_attention_matches():
             params, hidden, text, t)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_hybrid_mesh_fallback_and_distributed_noop():
+    """make_hybrid_mesh: on a single-slice backend (CPU devices carry no
+    slice_index) the DCN factor folds into `data`; initialize_distributed is
+    a no-op without a coordinator and reports process 0."""
+    from videopainter_tpu.parallel import initialize_distributed, make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(dcn_data=2, data=2, seq=2, model=1)
+    assert mesh.axis_names == ("data", "seq", "model")
+    assert mesh.devices.shape == (4, 2, 1)
+
+    try:
+        make_hybrid_mesh(dcn_data=3, data=1, seq=1, model=1)
+    except ValueError as e:
+        assert "devices" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("expected ValueError for non-divisible mesh")
+
+    assert initialize_distributed() == 0

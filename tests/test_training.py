@@ -177,3 +177,35 @@ def test_hf_export_roundtrip(tiny_stack):
             continue
         np.testing.assert_allclose(np.asarray(leaf), np.asarray(flat_b[path]),
                                    rtol=1e-6, atol=1e-7, err_msg=str(path))
+
+
+def test_trainer_loop_with_mesh(tiny_stack, tmp_path):
+    """train(mesh=...) runs the DP/ZeRO-2 path end-to-end: batches shard over
+    `data`, stacked optimizer moments shard their layer axis, and the loop
+    produces finite losses (the reference's accelerate+DeepSpeed stage-2
+    setup, accelerate_config_machine_single_ds.yaml:3-11, as GSPMD)."""
+    from videopainter_tpu.parallel import make_mesh
+    from videopainter_tpu.training.trainer import TrainerConfig, train
+
+    transformer, branch, vae, sched, tp, bp, vp = tiny_stack
+    mesh = make_mesh(data=2, seq=1, model=1, devices=jax.devices()[:2])
+    cfg = BranchTrainConfig(height=64, width=96, mask_add=True, remat=False)
+    tcfg = TrainerConfig(output_dir=str(tmp_path), max_train_steps=2,
+                         learning_rate=1e-3, checkpointing_steps=100,
+                         validating_steps=100, resume_from_checkpoint=None,
+                         log_every=1)
+
+    def batches():
+        while True:
+            yield make_batch(b=2)
+
+    state = train(transformer, branch, vae, sched,
+                  {"transformer": tp, "vae": vp}, batches(), tcfg, cfg,
+                  initial_trainable=bp, mesh=mesh)
+    assert int(np.asarray(state.step)) == 2
+    # ZeRO-2 analog: stacked moment leaves stay sharded over `data` through
+    # the jitted step (GSPMD output propagation keeps the input placement)
+    n_sharded = sum(1 for leaf in jax.tree.leaves(state.opt_state)
+                    if hasattr(leaf, "sharding")
+                    and "data" in str(leaf.sharding.spec))
+    assert n_sharded > 0, "no optimizer moment leaf sharded over data"

@@ -19,6 +19,7 @@ a local T5 under <model>/text_encoder.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 
 
@@ -73,8 +74,16 @@ def get_args(argv=None):
     p.add_argument("--validating_steps", type=int, default=256)
     p.add_argument("--resume_from_checkpoint", default="latest")
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--mesh_data", type=int, default=0,
-                   help="data-parallel size (0 = all devices)")
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help="data-parallel size (0 = all devices; default 1 = "
+                        "single-device, no mesh)")
+    p.add_argument("--mesh_seq", type=int, default=1,
+                   help="sequence-parallel size (GSPMD seq axis)")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="tensor-parallel size (megatron-style block specs)")
+    p.add_argument("--dcn_data", type=int, default=1,
+                   help="multi-slice data-parallel factor (gradients "
+                        "all-reduce over DCN; requires jax.distributed)")
     return p.parse_args(argv)
 
 
@@ -195,8 +204,25 @@ def main(argv=None):
         resume_from_checkpoint=args.resume_from_checkpoint,
         seed=args.seed, mode=args.mode)
 
+    # distribution: mirror the reference's `accelerate launch` 8-GPU ZeRO-2
+    # setup with a Mesh — data-parallel batches, ZeRO-2 optimizer sharding,
+    # optional seq/model axes (beyond reference). mesh_data=1 with no other
+    # axes keeps the single-device path.
+    from ..parallel import initialize_distributed, make_hybrid_mesh
+
+    initialize_distributed()
+    mesh = None
+    n_dev = len(jax.devices())
+    data = args.mesh_data or max(
+        n_dev // (args.mesh_seq * args.mesh_model * args.dcn_data), 1)
+    if data * args.mesh_seq * args.mesh_model * args.dcn_data > 1:
+        mesh = make_hybrid_mesh(dcn_data=args.dcn_data, data=data,
+                                seq=args.mesh_seq, model=args.mesh_model)
+        if args.mesh_seq > 1 and not btcfg.seq_axis:
+            btcfg = dataclasses.replace(btcfg, seq_axis="seq")
+
     state = train(transformer, branch, vae, sched, frozen, batches(), trcfg,
-                  btcfg, initial_trainable=trainable)
+                  btcfg, initial_trainable=trainable, mesh=mesh)
 
     # final export in reference-compatible format
     from .checkpoint import export_branch_pretrained, export_lora_weights

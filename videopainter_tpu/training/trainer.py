@@ -88,13 +88,44 @@ def dump_first_batch(batch: Dict, out_dir: str) -> None:
                     cv2.cvtColor(combo, cv2.COLOR_RGB2BGR))
 
 
+def shard_train_setup(mesh, trainable, opt_state, frozen_params):
+    """Place the training state on a mesh: params/frozen by their TP specs
+    (replicated when the mesh has no `model` extent), optimizer moments
+    ZeRO-2-style over `data` (the reference's DeepSpeed stage-2 semantics,
+    accelerate_config_machine_single_ds.yaml:3-11). Returns the placed
+    (trainable, opt_state, frozen_params) plus the batch sharding."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel import (branch_param_specs, opt_state_specs, shard_params,
+                            transformer_param_specs, vae_param_specs)
+    from ..parallel.sharding import fit_spec
+
+    t_specs = branch_param_specs(trainable)
+    trainable = shard_params(trainable, t_specs, mesh)
+    os_specs = opt_state_specs(opt_state, trainable, t_specs)
+    opt_state = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, fit_spec(x, s, mesh))),
+        opt_state, os_specs)
+    placed_frozen = {}
+    for name, tree in frozen_params.items():
+        specs = (vae_param_specs(tree) if name == "vae"
+                 else transformer_param_specs(tree))
+        placed_frozen[name] = shard_params(tree, specs, mesh)
+    batch_sharding = NamedSharding(mesh, P("data"))
+    return trainable, opt_state, placed_frozen, batch_sharding
+
+
 def train(transformer, branch, vae, scheduler, frozen_params: dict,
           data_iter, tcfg: TrainerConfig, bcfg,
-          validation_fn=None, initial_trainable=None):
+          validation_fn=None, initial_trainable=None, mesh=None):
     """Run the training loop. `data_iter` yields collated batches with
     prompt_embeds already computed (or a text encoder embedded upstream).
     `validation_fn(trainable, step) -> video01 | None` runs the full pipeline
-    periodically (reference log_validation)."""
+    periodically (reference log_validation). `mesh`: optional
+    `jax.sharding.Mesh` — batches shard over `data`, optimizer state shards
+    ZeRO-2-style, params follow the TP specs (GSPMD inserts the collectives,
+    replacing the reference's accelerate/DeepSpeed NCCL stack)."""
     import jax
 
     from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
@@ -137,10 +168,22 @@ def train(transformer, branch, vae, scheduler, frozen_params: dict,
     # one grad-step program) so VAE temps never share HBM with the backward
     step_fn = make_step(transformer, branch, vae, scheduler, optimizer, bcfg)
 
+    batch_sharding = None
+    mesh_ctx = None
+    if mesh is not None:
+        trainable, opt_state, frozen_params, batch_sharding = \
+            shard_train_setup(mesh, state.trainable, state.opt_state,
+                              frozen_params)
+        state = state._replace(trainable=trainable, opt_state=opt_state)
+        mesh_ctx = mesh.__enter__()
+
     rng = jax.random.PRNGKey(tcfg.seed)
     t0 = time.time()
     for step in range(start_step, tcfg.max_train_steps):
         batch = next(data_iter)
+        if batch_sharding is not None:
+            batch = {k: jax.device_put(v, batch_sharding)
+                     for k, v in batch.items()}
         if step == start_step:
             dump_first_batch(batch, tcfg.output_dir)
         rng, k = jax.random.split(rng)
@@ -168,4 +211,6 @@ def train(transformer, branch, vae, scheduler, frozen_params: dict,
             except Exception as e:
                 print(f"[warn] validation failed at step {step + 1}: {e}")
 
+    if mesh_ctx is not None:
+        mesh.__exit__(None, None, None)
     return state
