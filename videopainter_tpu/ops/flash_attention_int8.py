@@ -45,8 +45,8 @@ def _int8_flash_kernel(deq_q_ref, deq_k_ref, q_ref, k_ref, v_ref, o_ref,
                        m_ref, l_ref, acc_ref, *,
                        sm_scale: float, kv_len: int, int8_pv: bool):
     """Grid (bh, nq, nk) like the bf16 kernel. deq_q_ref is the current
-    q-block's [1, 128] scale row (lane 0 = sq); deq_k_ref the current
-    k-block's (lane 0 = sk, lane 1 = sv)."""
+    q-block's [8, 128] (row-replicated) scale window (lane 0 = sq);
+    deq_k_ref the current k-block's (lane 0 = sk, lane 1 = sv)."""
     j = pl.program_id(2)
     nk = pl.num_programs(2)
     blk_q, d = q_ref.shape
@@ -99,9 +99,12 @@ def _int8_flash_padded(deq_q, deq_k, q_i8, k_i8, v, sm_scale, kv_len,
                          memory_space=pltpu.VMEM)
     kvspec = pl.BlockSpec((None, blk_k, d), lambda b, i, j: (b, j, 0),
                           memory_space=pltpu.VMEM)
-    dqspec = pl.BlockSpec((None, 1, 128), lambda b, i, j: (b, i, 0),
+    # scale tables are stored 8x row-replicated ([bh, n*8, 128]) so the
+    # per-block (8, 128) window satisfies Mosaic's second-minor divisibility
+    # rule — a (1, 128) block only lowers in interpret mode (CLAUDE.md)
+    dqspec = pl.BlockSpec((None, 8, 128), lambda b, i, j: (b, i, 0),
                           memory_space=pltpu.VMEM)
-    dkspec = pl.BlockSpec((None, 1, 128), lambda b, i, j: (b, j, 0),
+    dkspec = pl.BlockSpec((None, 8, 128), lambda b, i, j: (b, j, 0),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_int8_flash_kernel, sm_scale=sm_scale,
@@ -169,12 +172,15 @@ def flash_attention_int8(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     q_i8 = q_i8.reshape(b * h, sqp, d)
     k_i8 = k_i8.reshape(b * h, skp, d)
 
-    # scale tables: [bh, nblocks, 128] lane rows (lane 0 = s, lane 1 = sv)
-    deq_q = jnp.zeros((b * h, nq, 128), jnp.float32
-                      ).at[:, :, 0].set(sq.reshape(b * h, nq))
-    deq_k = jnp.zeros((b * h, nk, 128), jnp.float32
-                      ).at[:, :, 0].set(sk.reshape(b * h, nk))
-    deq_k = deq_k.at[:, :, 1].set(sv.reshape(b * h, nk))
+    # scale tables: [bh, nblocks*8, 128] — each block's scale row replicated
+    # 8x so the kernel's (8, 128) block window lowers on real Mosaic (lane 0
+    # = s, lane 1 = sv)
+    rep = lambda s, n: jnp.repeat(s.reshape(b * h, n), 8, axis=1)
+    deq_q = jnp.zeros((b * h, nq * 8, 128), jnp.float32
+                      ).at[:, :, 0].set(rep(sq, nq))
+    deq_k = jnp.zeros((b * h, nk * 8, 128), jnp.float32
+                      ).at[:, :, 0].set(rep(sk, nk))
+    deq_k = deq_k.at[:, :, 1].set(rep(sv, nk))
 
     out = _int8_flash_padded(deq_q, deq_k, q_i8, k_i8, v_in, float(scale),
                              s_k, blk_q, blk_k, int8_pv, q.dtype)
