@@ -1,0 +1,103 @@
+"""Compressed cross-window state capture (ID-resample any-length path).
+
+The captured per-layer hidden states are only ever read through a
+prev_resample_mask multiply (ops/attention.py:133-134), so capturing just the
+masked-region tokens (common.capture_token_indices) and scattering them back
+(models/dit.py run_block) must be EXACT vs the full [L, 2B, S, D] capture.
+This is the memory optimization that makes flagship ID anyl single-chip
+(8.5 GiB captured state -> mask-fraction of that).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videopainter_tpu.config import (BranchConfig, SchedulerConfig,
+                                     TransformerConfig, VAEConfig)
+from videopainter_tpu.models import (AutoencoderKLCogVideoX, CogVideoXBranch,
+                                     CogVideoXTransformer3D)
+from videopainter_tpu.pipelines import CogVideoXI2VDualInpaintAnyLPipeline
+from videopainter_tpu.pipelines.common import capture_token_indices
+from videopainter_tpu.schedulers import CogVideoXDPMScheduler
+
+
+def test_capture_token_indices_shape_and_padding():
+    mask = np.zeros((2, 3, 8, 12), np.float32)
+    mask[0, :, 2:4, 4:8] = 1.0        # 3 frames * 1x2 patches = 6 tokens
+    mask[1, :, 0:2, 0:2] = 1.0        # 3 frames * 1x1 patch = 3 tokens
+    idx = np.asarray(capture_token_indices(jnp.asarray(mask), 2, text_len=5,
+                                           bucket=4))
+    s_joint = 5 + 3 * 4 * 6
+    assert idx.shape == (2, 8)        # max count 6 -> bucket 4 rounds to 8
+    assert (idx[0, :6] >= 5).all() and (idx[0, 6:] == s_joint).all()
+    assert (idx[1, :3] >= 5).all() and (idx[1, 3:] == s_joint).all()
+    # bucket larger than S_joint caps at S_joint
+    idx2 = np.asarray(capture_token_indices(jnp.asarray(mask), 2, text_len=5,
+                                            bucket=4096))
+    assert idx2.shape[1] == s_joint
+
+
+@pytest.fixture(scope="module")
+def rs_stack():
+    cfg = TransformerConfig.tiny(in_channels=32, out_channels=16,
+                                 sample_height=8, sample_width=12,
+                                 id_pool_resample_learnable=True)
+    transformer = CogVideoXTransformer3D(cfg)
+    branch = CogVideoXBranch(BranchConfig.from_transformer(cfg, num_layers=2))
+    vae = AutoencoderKLCogVideoX(VAEConfig.tiny(latent_channels=16))
+    params = {"transformer": transformer.init(jax.random.PRNGKey(0)),
+              "vae": vae.init(jax.random.PRNGKey(1))}
+    params["branch"] = branch.init_from_transformer(jax.random.PRNGKey(2),
+                                                    params["transformer"], cfg)
+    sched = CogVideoXDPMScheduler(SchedulerConfig.cogvideox_5b_inference())
+    pipe = CogVideoXI2VDualInpaintAnyLPipeline(transformer, branch, vae, sched)
+    return pipe, params
+
+
+def _anyl_kwargs(sequential_cfg=False):
+    rng = np.random.RandomState(3)
+    video = jnp.asarray(rng.rand(1, 17, 64, 96, 3).astype(np.float32)) * 2 - 1
+    masks = np.zeros((1, 17, 64, 96), np.float32)
+    masks[:, :, 12:32, 24:56] = 1.0
+    embeds = jnp.asarray(rng.rand(1, 5, 12).astype(np.float32))
+    return dict(video=video, masks=jnp.asarray(masks), image=video[:, 0],
+                num_frames=9, stride=4, prompt_embeds=embeds,
+                negative_prompt_embeds=jnp.zeros_like(embeds),
+                num_inference_steps=3, guidance_scale=6.0,
+                use_dynamic_cfg=True, replace_gt=True, mask_add=True,
+                id_pool_resample=True, prev_clip_weight=0.3,
+                vae_sample_mode="mode", sequential_cfg=sequential_cfg,
+                rng=jax.random.PRNGKey(11))
+
+
+def test_compressed_capture_matches_full(rs_stack):
+    pipe, params = rs_stack
+    kw = _anyl_kwargs()
+    full = pipe(params, compress_capture=None, **kw)
+    comp = pipe(params, compress_capture=4, **kw)   # tiny bucket: real padding
+    np.testing.assert_array_equal(np.asarray(comp), np.asarray(full))
+
+
+def test_compressed_capture_matches_full_sequential_cfg(rs_stack):
+    pipe, params = rs_stack
+    kw = _anyl_kwargs(sequential_cfg=True)
+    full = pipe(params, compress_capture=None, **kw)
+    comp = pipe(params, compress_capture=8, **kw)
+    np.testing.assert_array_equal(np.asarray(comp), np.asarray(full))
+
+
+def test_compressed_prev_requires_resample_path():
+    cfg = TransformerConfig.tiny()  # id_pool_resample_learnable=False
+    transformer = CogVideoXTransformer3D(cfg)
+    params = transformer.init(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 2, 8, 12, cfg.in_channels))
+    emb = jnp.zeros((1, 5, 12))
+    s_joint = 5 + 2 * 4 * 6
+    prev = jnp.zeros((cfg.num_layers, 1, 4, cfg.inner_dim))
+    with pytest.raises(ValueError):
+        transformer.apply(params, x, emb, jnp.asarray(0),
+                          prev_hidden_states=prev,
+                          prev_clip_weight=0.3,
+                          prev_resample_mask=jnp.zeros((1, s_joint), bool),
+                          prev_hidden_indices=jnp.zeros((1, 4), jnp.int32))

@@ -66,7 +66,14 @@ def main():
     from videopainter_tpu.schedulers import CogVideoXDPMScheduler
 
     dtype = jnp.bfloat16
-    cfg = TransformerConfig.cogvideox_5b_i2v(num_layers=args.layers)
+    # --resample mirrors the VideoPainterID deployment: the ID-LoRA model is
+    # BUILT with id_pool_resample_learnable=True (reference subtlety — the
+    # processor is chosen at block construction, cogvideox_transformer_3d.py:
+    # 98-99). This also enables the compressed cross-window capture (masked
+    # tokens only, bit-exact), which is what lets flagship ID anyl fit ONE
+    # chip at all: the full [42, 2B, S, D] capture alone is 8.5 GiB.
+    cfg = TransformerConfig.cogvideox_5b_i2v(
+        num_layers=args.layers, id_pool_resample_learnable=args.resample)
     bcfg = BranchConfig.from_transformer(cfg, num_layers=2)
     transformer = CogVideoXTransformer3D(cfg)
     branch = CogVideoXBranch(bcfg)

@@ -196,10 +196,15 @@ class CogVideoXTransformer3D:
         self_guidance_hidden_states: Optional[jnp.ndarray] = None,  # [L, B, S_vid, D]
         self_guidance_masks: Optional[jnp.ndarray] = None,    # [B, T_lat, H, W] float
         prev_hidden_states: Optional[jnp.ndarray] = None,     # [L, B, S_joint, D]
+                                                              # or [L, B, M, D] compressed
         prev_clip_weight: Optional[Any] = None,
         prev_resample_mask: Optional[jnp.ndarray] = None,     # bool [B, S_joint]
+        prev_hidden_indices: Optional[jnp.ndarray] = None,    # int32 [B, M]: joint-seq
+                                                              # positions of compressed prev states
         id_pool_resample: bool = False,
         return_hidden_states: bool = False,
+        capture_indices: Optional[jnp.ndarray] = None,        # int32 [B, M]: capture only
+                                                              # these joint-seq positions
         use_flash: bool = False,
         remat: bool = False,
         seq_axis: Optional[str] = None,
@@ -215,6 +220,12 @@ class CogVideoXTransformer3D:
         attention (video KV rotates over ICI via ppermute, text folded in
         once) - zero KV all-gather memory; requires seq_axis."""
         cfg = self.cfg
+        if prev_hidden_indices is not None and prev_hidden_states is not None \
+                and not cfg.id_pool_resample_learnable:
+            raise ValueError(
+                "compressed prev_hidden_states (prev_hidden_indices) are only "
+                "valid on the ID-resample path: the base-processor prev-clip "
+                "blend reads full-sequence prev KV (ops/attention.py:164-185)")
         b, num_frames, height, width, _ = hidden_states.shape
         if jnp.ndim(timestep) == 0:
             timestep = jnp.broadcast_to(timestep, (b,))
@@ -283,6 +294,19 @@ class CogVideoXTransformer3D:
             prev_h = None
             if prev_hidden_states is not None:
                 prev_h = prev_hidden_states[layer_idx]
+                if prev_hidden_indices is not None:
+                    # Compressed cross-window state: only masked-region tokens
+                    # were captured — they are the only positions the resample
+                    # processor reads (prev_resample_mask zeroes the rest
+                    # either way, ops/attention.py:133-134), so scattering
+                    # them into a zero joint-sequence buffer is bit-exact.
+                    # Pad indices land in the extra slot S_joint, sliced off.
+                    s_joint = text_len + s_vid
+                    full = jnp.zeros((b, s_joint + 1, prev_h.shape[-1]),
+                                     prev_h.dtype)
+                    full = full.at[jnp.arange(b)[:, None],
+                                   prev_hidden_indices].set(prev_h)
+                    prev_h = full[:, :s_joint]
             h, enc_h = dit_block(
                 bp, h, enc_h, emb, rope,
                 num_heads=num_heads, norm_eps=norm_eps,
@@ -314,7 +338,15 @@ class CogVideoXTransformer3D:
             if remat:
                 fn = jax.checkpoint(run_block)
             h, enc_h = fn(bp, h, enc_h, layer_idx)
-            ys = jnp.concatenate([enc_h, h], axis=1) if return_hidden_states else None
+            ys = None
+            if return_hidden_states:
+                ys = jnp.concatenate([enc_h, h], axis=1)
+                if capture_indices is not None:
+                    # compressed capture: keep only the masked-region tokens
+                    # (pad slots gather a clamped in-range token; the
+                    # consumer's scatter drops them)
+                    idx = jnp.clip(capture_indices, 0, ys.shape[1] - 1)
+                    ys = jnp.take_along_axis(ys, idx[..., None], axis=1)
             return (h, enc_h), ys
 
         layer_ids = jnp.arange(n_layers)

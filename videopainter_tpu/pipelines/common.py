@@ -99,6 +99,41 @@ def dynamic_cfg_scales(timesteps: np.ndarray, num_inference_steps: int,
     return np.array(out, dtype=np.float32)
 
 
+def capture_token_indices(mask: jnp.ndarray, patch_size: int, text_len: int,
+                          bucket: int = 2048) -> jnp.ndarray:
+    """Joint-sequence gather indices for COMPRESSED cross-window state capture.
+
+    The any-length ID-resample path (reference ..._anyl.py:982-988 +
+    attention_processor.py:2247-2284) stores per-layer hidden states only to
+    multiply them by `prev_resample_mask` in the next window — unmasked slots
+    are zeroed before use. Capturing just the masked-region tokens is
+    therefore bit-exact while shrinking the [L, 2B, S, D] state (8.5 GiB at
+    flagship dims — the thing that made flagship ID anyl multi-chip-only) by
+    the mask fraction.
+
+    `mask` is the latent-grid mask [B, T_lat, h_lat, w_lat] — the SAME tensor
+    the model pools in patch_embed, so the indices match the in-model
+    resample mask exactly. Returns int32 [B, M] of joint-sequence positions
+    (text offset applied), padded with S_joint (one past the end; the scatter
+    in CogVideoXTransformer3D.apply drops pad slots). M is the max per-batch
+    masked-token count rounded up to `bucket` (recompile granularity), capped
+    at S_joint, so no truncation can occur.
+    """
+    from ..ops.patch_embed import pool_patch_mask
+
+    pm = np.asarray(pool_patch_mask(jnp.asarray(mask), patch_size))
+    b, s_vid = pm.shape
+    s_joint = text_len + s_vid
+    counts = pm.sum(axis=1).astype(int)
+    m = int(np.ceil(max(int(counts.max()), 1) / bucket) * bucket)
+    m = min(m, s_joint)
+    idx = np.full((b, m), s_joint, dtype=np.int32)
+    for i in range(b):
+        nz = np.nonzero(pm[i])[0] + text_len
+        idx[i, :len(nz)] = nz
+    return jnp.asarray(idx)
+
+
 class DenoiseInputs(NamedTuple):
     """Device inputs to the fused denoise scan. B = real batch (pre-CFG)."""
 
@@ -111,6 +146,10 @@ class DenoiseInputs(NamedTuple):
     video_latents: Optional[jnp.ndarray]  # [B, T, h, w, C] clean GT latents (replace_gt)
     dpm_noises: Optional[jnp.ndarray] = None  # [S, B, T, h, w, C] injected SDE noise
                                               # (parity testing; None -> draw from rng)
+    capture_indices: Optional[jnp.ndarray] = None  # int32 [B, M]: compressed
+                                              # cross-window capture — only these
+                                              # joint-sequence positions are kept
+                                              # (see capture_token_indices)
 
 
 @dataclass(frozen=True)
@@ -212,9 +251,12 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
             def half(ps, lo, hi):
                 if ps is None:
                     return None
-                return {"prev_hidden_states": ps["prev_hidden_states"][:, lo:hi],
-                        "prev_resample_mask": ps["prev_resample_mask"][lo:hi],
-                        "prev_clip_weight": ps["prev_clip_weight"]}
+                out = {"prev_hidden_states": ps["prev_hidden_states"][:, lo:hi],
+                       "prev_resample_mask": ps["prev_resample_mask"][lo:hi],
+                       "prev_clip_weight": ps["prev_clip_weight"]}
+                if ps.get("prev_hidden_indices") is not None:
+                    out["prev_hidden_indices"] = ps["prev_hidden_indices"][lo:hi]
+                return out
 
             out_u = _model_pass(params, inputs, rope, latents, i,
                                 half(prev_state, 0, b), capture=capture,
@@ -270,6 +312,12 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
             kw["prev_hidden_states"] = prev_state["prev_hidden_states"]
             kw["prev_clip_weight"] = prev_state["prev_clip_weight"]
             kw["prev_resample_mask"] = prev_state["prev_resample_mask"]
+            if prev_state.get("prev_hidden_indices") is not None:
+                kw["prev_hidden_indices"] = prev_state["prev_hidden_indices"]
+        if capture and inputs.capture_indices is not None:
+            ci = inputs.capture_indices
+            kw["capture_indices"] = (jnp.concatenate([ci, ci], axis=0)
+                                     if cfg_batch else ci)
 
         if dcfg.mode == "dual":
             branch_cond = jnp.concatenate([masked_lat, mask[..., None]], axis=-1)

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..schedulers import CogVideoXDPMScheduler
-from .common import (DenoiseConfig, get_strength_timesteps, prepare_rope,
+from .common import (DenoiseConfig, capture_token_indices,
+                     get_strength_timesteps, prepare_rope,
                      supports_host_callbacks)
 from .inpaint import CogVideoXI2VDualInpaintPipeline
 
@@ -74,6 +75,9 @@ class CogVideoXI2VDualInpaintAnyLPipeline(CogVideoXI2VDualInpaintPipeline):
         ring_mesh=None,
         stream_decode: bool = False,
         vae_device=None,
+        compress_capture: Optional[int] = 2048,  # bucket for compressed
+        # cross-window state capture (ID-resample path only; bit-exact —
+        # see common.capture_token_indices). None/0 keeps full [L,2B,S,D].
         progress_fn=None,   # called with (done_steps, total_steps) across windows
         dtype=jnp.float32,
     ):
@@ -184,6 +188,20 @@ class CogVideoXI2VDualInpaintAnyLPipeline(CogVideoXI2VDualInpaintPipeline):
             # which single-handedly OOMs a 16 GB chip.
             wants_prev = id_pool_resample or (prev_clip_weight or 0.0) > 0.0
             capture = wants_prev and window_idx < n_windows - 1
+            # Compressed capture (ID-resample path only — the prev-clip blend
+            # reads FULL prev KV): keep just the masked-region tokens, the
+            # only positions prev_resample_mask lets through. Bit-exact and
+            # shrinks the 8.5 GiB flagship capture by the mask fraction —
+            # this is what makes flagship ID anyl fit ONE chip.
+            can_compress = (
+                bool(compress_capture) and id_pool_resample
+                and self.transformer.cfg.id_pool_resample_learnable
+                and (mask_add if self._mode == "dual"
+                     else self._mode == "selfguidance"))
+            if capture and can_compress:
+                inputs = inputs._replace(capture_indices=capture_token_indices(
+                    inputs.mask, self.transformer.cfg.patch_size,
+                    text_len=embeds.shape[1], bucket=int(compress_capture)))
             dcfg = dc_replace(base_dcfg, capture_hidden_states=capture)
             denoise = self._get_denoise(dcfg, timesteps)
 
@@ -213,6 +231,10 @@ class CogVideoXI2VDualInpaintAnyLPipeline(CogVideoXI2VDualInpaintPipeline):
                     "prev_resample_mask": resample_mask,
                     "prev_clip_weight": prev_clip_weight,
                 }
+                if inputs.capture_indices is not None:
+                    ci = inputs.capture_indices
+                    prev_state["prev_hidden_indices"] = (
+                        jnp.concatenate([ci, ci], axis=0) if do_cfg else ci)
 
             # accumulate into the global latent timeline (:1052-1064)
             start = window_start(window_idx)
