@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--int8-attn", action="store_true",
                     help="SageAttention-style int8-QK^T flash attention "
                          "(ops/flash_attention_int8.py; implies flash)")
+    ap.add_argument("--int8-pv", action="store_true",
+                    help="int8-QK^T AND int8 P·V flash attention (the "
+                         "fastest, slightly lossier attention mode)")
     args = ap.parse_args()
 
     import jax
@@ -113,6 +116,10 @@ def main():
                     "W8A8 projections + SageAttention-style int8-QK^T flash "
                     "(the production serving config; quality gated in "
                     "tests/test_quantize.py + test_flash_attention.py)")
+        attach_fast("int8_pv_fast_mode", ["--int8", "--int8-pv"],
+                    "W8A8 projections + int8-QK^T AND int8-P·V flash — the "
+                    "fastest mode; slightly lossier PV quantization "
+                    "(tests/test_flash_attention.py int8_pv rung)")
 
         # Headline = the production serving config (int8 W8A8 + int8-QK^T
         # attention) when its 42L rung measured. Quality-gated at FLAGSHIP
@@ -205,7 +212,8 @@ def main():
     rope = prepare_rope(cfg, H_lat * 8, W_lat * 8, T_lat, 8)
     rope = (rope[0].astype(dtype), rope[1].astype(dtype))
 
-    use_flash = "int8" if args.int8_attn else (not args.tiny)
+    use_flash = ("int8pv" if args.int8_pv else
+                 "int8" if args.int8_attn else (not args.tiny))
 
     def forward_one(params, latents, masked, image_latents, mask, embeds_b,
                     rope, ts):

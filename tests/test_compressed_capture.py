@@ -87,6 +87,46 @@ def test_compressed_capture_matches_full_sequential_cfg(rs_stack):
     np.testing.assert_array_equal(np.asarray(comp), np.asarray(full))
 
 
+def test_capture_int8_close_to_full(rs_stack):
+    """int8 per-token capture: lossy but tight — the second window's output
+    must track the full-precision capture closely (the stored state carries
+    ~0.4% quantization error into the next window's resample attention)."""
+    pipe, params = rs_stack
+    kw = _anyl_kwargs()
+    full = np.asarray(pipe(params, compress_capture=4, **kw))
+    q = np.asarray(pipe(params, compress_capture=4, capture_int8=True, **kw))
+    assert np.isfinite(q).all()
+    # window 0 is identical (no prev state); later windows differ only by the
+    # quantization error carried through one attention call
+    err = np.abs(q - full).mean() / (np.abs(full).mean() + 1e-9)
+    assert err < 5e-3, err
+    assert not np.array_equal(q, full)  # it IS lossy — guard the test itself
+
+
+def test_capture_int8_dequant_error_bound(rs_stack):
+    """Unit-level: the dict capture dequantizes to within per-token int8
+    error of the bf16 capture (|x - deq(x)| <= scale/2 = max|x|/254)."""
+    pipe, params = rs_stack
+    cfg = pipe.transformer.cfg
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 2, 8, 12, cfg.in_channels), jnp.float32)
+    emb = jnp.asarray(rng.randn(1, 5, 12), jnp.float32)
+    mask = jnp.asarray((rng.rand(1, 2, 8, 12) > 0.5), jnp.float32)
+    ci = capture_token_indices(mask, cfg.patch_size, text_len=5, bucket=4)
+    kw = dict(rope=None, branch_block_masks=mask, id_pool_resample=True,
+              return_hidden_states=True, capture_indices=ci)
+    ref = pipe.transformer.apply(params["transformer"], x, emb, jnp.asarray(0),
+                                 **kw).hidden_states_list
+    out = pipe.transformer.apply(params["transformer"], x, emb, jnp.asarray(0),
+                                 capture_quant=True, **kw).hidden_states_list
+    assert out["values"].dtype == jnp.int8
+    deq = np.asarray(out["values"], np.float32) * np.asarray(
+        out["scales"], np.float32)[..., None]
+    ref = np.asarray(ref, np.float32)
+    bound = np.abs(ref).max(axis=-1, keepdims=True) / 254.0 + 1e-6
+    assert (np.abs(deq - ref) <= bound + 1e-4 * np.abs(ref)).all()
+
+
 def test_compressed_prev_requires_resample_path():
     cfg = TransformerConfig.tiny()  # id_pool_resample_learnable=False
     transformer = CogVideoXTransformer3D(cfg)

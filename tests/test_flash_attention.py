@@ -186,11 +186,12 @@ def test_flash_int8_close_to_exact(s_q, s_k, int8_pv):
     assert cos > 0.999, cos
 
 
-def test_int8_attention_routes_all_processor_variants():
-    """use_flash="int8" must route every processor variant (base, ID-resample,
-    prev-clip blend, combined) through the int8 kernel with only quantization
-    noise vs the exact path (cos similarity; exact parity is the bf16 kernel's
-    job — test above)."""
+@pytest.mark.parametrize("mode", ["int8", "int8pv"])
+def test_int8_attention_routes_all_processor_variants(mode):
+    """use_flash="int8"/"int8pv" must route every processor variant (base,
+    ID-resample, prev-clip blend, combined) through the int8 kernel with only
+    quantization noise vs the exact path (cos similarity; exact parity is the
+    bf16 kernel's job — test above)."""
     from jax.experimental.pallas import tpu as pltpu
 
     from videopainter_tpu.ops.attention import init_attention, joint_attention
@@ -213,7 +214,7 @@ def test_int8_attention_routes_all_processor_variants():
         ref_h, ref_e = joint_attention(p, h, e, num_heads=2, **kw)
         with pltpu.force_tpu_interpret_mode():
             out_h, out_e = joint_attention(p, h, e, num_heads=2,
-                                           use_flash="int8", **kw)
+                                           use_flash=mode, **kw)
         for o, r in ((out_h, ref_h), (out_e, ref_e)):
             o, r = np.asarray(o), np.asarray(r)
             assert o.shape == r.shape

@@ -31,6 +31,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--layers", type=int, default=42)
+    ap.add_argument("--pv", action="store_true",
+                    help="gate the int8pv mode (int8 P·V on top of int8-QK^T)")
     args = ap.parse_args()
 
     try:
@@ -109,7 +111,7 @@ def main():
     params = {k: quantize_transformer_int8(v, free_source=True)
               for k, v in params.items()}
     gc.collect()
-    got = run_traj(params, use_flash="int8")
+    got = run_traj(params, use_flash="int8pv" if args.pv else "int8")
 
     rng_val = float(ref.max() - ref.min())
     mse = float(np.mean((got - ref) ** 2))
@@ -117,7 +119,8 @@ def main():
     cos = float((ref * got).sum() /
                 (np.linalg.norm(ref) * np.linalg.norm(got) + 1e-12))
     print(json.dumps({
-        "gate": "int8+int8attn vs bf16, 42L flagship dims",
+        "gate": ("int8+int8pv-attn vs bf16, 42L flagship dims" if args.pv
+                 else "int8+int8attn vs bf16, 42L flagship dims"),
         "steps": args.steps, "layers": args.layers,
         "latent_psnr_db": round(psnr, 2), "cosine": round(cos, 6),
         "rel_l1": round(float(np.abs(got - ref).mean() /

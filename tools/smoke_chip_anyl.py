@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--int8_attn", action="store_true",
                     help="SageAttention-style int8-QK^T flash attention "
                          "(the full production fast mode)")
+    ap.add_argument("--capture_int8", action="store_true",
+                    help="store the compressed cross-window capture as "
+                         "per-token int8 (+scales) — halves it again; "
+                         "headroom for larger masks on one chip")
     args = ap.parse_args()
 
     import jax
@@ -134,6 +138,7 @@ def main():
         num_inference_steps=args.steps, guidance_scale=6.0,
         use_dynamic_cfg=True, replace_gt=True, mask_add=True,
         id_pool_resample=args.resample, sequential_cfg=True,
+        capture_int8=args.capture_int8,
         prev_clip_weight=0.3 if args.resample else 0.0,
         rng=jax.random.PRNGKey(42),
         use_flash=("int8" if args.int8_attn else True),

@@ -219,9 +219,11 @@ def generate_video(args, first_frame_inpaint_fn: Optional[Callable] = None,
                    replace_gt=args.replace_gt, mask_add=args.mask_add,
                    prev_clip_weight=args.prev_clip_weight,
                    id_pool_resample=bool(args.id_adapter),
-                   use_flash=("int8" if getattr(args, "int8_attn", False)
+                   use_flash=("int8pv" if getattr(args, "int8_pv", False)
+                              else "int8" if getattr(args, "int8_attn", False)
                               else getattr(args, "use_flash", False)),
                    sequential_cfg=getattr(args, "sequential_cfg", False),
+                   capture_int8=getattr(args, "capture_int8", False),
                    rng=jax.random.PRNGKey(args.seed),
                    dtype={"bfloat16": jnp.bfloat16,
                           "float32": jnp.float32}[args.dtype],
@@ -270,6 +272,13 @@ def get_args(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="opt-in W8A8 int8 block projections (single-chip "
                         "deployment mode; PSNR-gated vs full precision)")
+    p.add_argument("--int8_pv", action="store_true",
+                   help="int8-QK^T AND int8-P.V flash attention (fastest "
+                        "attention mode; slightly lossier than --int8_attn)")
+    p.add_argument("--capture_int8", action="store_true",
+                   help="store the compressed cross-window ID state as "
+                        "per-token int8 (+scales) - halves it again; "
+                        "single-chip headroom for large masks")
     p.add_argument("--sequential_cfg", action="store_true",
                    help="uncond/cond as two passes per step - halves "
                         "activation memory (single-chip 42L)")

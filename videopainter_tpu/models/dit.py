@@ -195,8 +195,9 @@ class CogVideoXTransformer3D:
         add_first: bool = False,
         self_guidance_hidden_states: Optional[jnp.ndarray] = None,  # [L, B, S_vid, D]
         self_guidance_masks: Optional[jnp.ndarray] = None,    # [B, T_lat, H, W] float
-        prev_hidden_states: Optional[jnp.ndarray] = None,     # [L, B, S_joint, D]
-                                                              # or [L, B, M, D] compressed
+        prev_hidden_states: Optional[Any] = None,             # [L, B, S_joint, D]
+                                                              # or [L, B, M, D] compressed, or
+                                                              # {"values": int8, "scales": f32}
         prev_clip_weight: Optional[Any] = None,
         prev_resample_mask: Optional[jnp.ndarray] = None,     # bool [B, S_joint]
         prev_hidden_indices: Optional[jnp.ndarray] = None,    # int32 [B, M]: joint-seq
@@ -205,6 +206,8 @@ class CogVideoXTransformer3D:
         return_hidden_states: bool = False,
         capture_indices: Optional[jnp.ndarray] = None,        # int32 [B, M]: capture only
                                                               # these joint-seq positions
+        capture_quant: bool = False,                          # int8 per-token capture
+                                                              # (halves the stored state again)
         use_flash: bool = False,
         remat: bool = False,
         seq_axis: Optional[str] = None,
@@ -220,7 +223,8 @@ class CogVideoXTransformer3D:
         attention (video KV rotates over ICI via ppermute, text folded in
         once) - zero KV all-gather memory; requires seq_axis."""
         cfg = self.cfg
-        if prev_hidden_indices is not None and prev_hidden_states is not None \
+        if (prev_hidden_indices is not None or isinstance(prev_hidden_states, dict)) \
+                and prev_hidden_states is not None \
                 and not cfg.id_pool_resample_learnable:
             raise ValueError(
                 "compressed prev_hidden_states (prev_hidden_indices) are only "
@@ -293,7 +297,14 @@ class CogVideoXTransformer3D:
         def run_block(bp, h, enc_h, layer_idx):
             prev_h = None
             if prev_hidden_states is not None:
-                prev_h = prev_hidden_states[layer_idx]
+                if isinstance(prev_hidden_states, dict):
+                    # int8 per-token capture: dequantize this layer's page
+                    prev_h = (prev_hidden_states["values"][layer_idx]
+                              .astype(jnp.float32)
+                              * prev_hidden_states["scales"][layer_idx][..., None]
+                              ).astype(h.dtype)
+                else:
+                    prev_h = prev_hidden_states[layer_idx]
                 if prev_hidden_indices is not None:
                     # Compressed cross-window state: only masked-region tokens
                     # were captured — they are the only positions the resample
@@ -347,6 +358,15 @@ class CogVideoXTransformer3D:
                     # consumer's scatter drops them)
                     idx = jnp.clip(capture_indices, 0, ys.shape[1] - 1)
                     ys = jnp.take_along_axis(ys, idx[..., None], axis=1)
+                if capture_quant:
+                    # per-token symmetric int8 (scale = max|x|/127 over D):
+                    # ~0.4% relative error on the stored state, in line with
+                    # the W8A8 serving mode that consumes it through int8
+                    # projections anyway
+                    y32 = ys.astype(jnp.float32)
+                    sc = jnp.maximum(jnp.max(jnp.abs(y32), axis=-1), 1e-8) / 127.0
+                    ys = {"values": jnp.round(y32 / sc[..., None]).astype(jnp.int8),
+                          "scales": sc}
             return (h, enc_h), ys
 
         layer_ids = jnp.arange(n_layers)

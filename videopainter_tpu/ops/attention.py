@@ -51,11 +51,17 @@ def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def _pick_flash(use_flash):
     """use_flash=True -> bf16 Pallas kernel; "int8" -> SageAttention-style
-    int8-QK^T kernel (inference-only deployment mode, like the W8A8 block
-    projections in quantize.py)."""
+    int8-QK^T kernel; "int8pv" -> additionally int8 P·V (slightly lossier,
+    fastest). Both int8 modes are inference-only deployment modes, like the
+    W8A8 block projections in quantize.py."""
     if use_flash == "int8":
         from .flash_attention_int8 import flash_attention_int8
         return flash_attention_int8
+    if use_flash == "int8pv":
+        import functools
+
+        from .flash_attention_int8 import flash_attention_int8
+        return functools.partial(flash_attention_int8, int8_pv=True)
     from .flash_attention import flash_attention
     return flash_attention
 

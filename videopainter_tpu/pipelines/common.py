@@ -169,6 +169,7 @@ class DenoiseConfig:
     id_pool_resample: bool
     is_dpm: bool
     capture_hidden_states: bool = False   # capture per-layer states at the final step
+    capture_quant: bool = False           # int8 per-token capture (anyl ID path)
     with_progress: bool = False           # trace a per-step host callback in
     use_flash: bool = False
     seq_axis: Optional[str] = None        # GSPMD sequence-parallel mesh axis
@@ -251,7 +252,11 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
             def half(ps, lo, hi):
                 if ps is None:
                     return None
-                out = {"prev_hidden_states": ps["prev_hidden_states"][:, lo:hi],
+                # prev_hidden_states: [L, 2B, ...] array or the int8-capture
+                # dict ({"values": [L,2B,M,D], "scales": [L,2B,M]}) — both
+                # split on the batch axis (axis 1)
+                out = {"prev_hidden_states": jax.tree.map(
+                           lambda x: x[:, lo:hi], ps["prev_hidden_states"]),
                        "prev_resample_mask": ps["prev_resample_mask"][lo:hi],
                        "prev_clip_weight": ps["prev_clip_weight"]}
                 if ps.get("prev_hidden_indices") is not None:
@@ -270,9 +275,9 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
                 sample=jnp.concatenate([out_u.sample, out_c.sample], axis=0))
             if capture:
                 out = out._replace(
-                    hidden_states_list=jnp.concatenate(
-                        [out_u.hidden_states_list, out_c.hidden_states_list],
-                        axis=1),
+                    hidden_states_list=jax.tree.map(
+                        lambda *xs: jnp.concatenate(xs, axis=1),
+                        out_u.hidden_states_list, out_c.hidden_states_list),
                     resample_mask=(None if out_c.resample_mask is None else
                                    jnp.concatenate([out_u.resample_mask,
                                                     out_c.resample_mask],
@@ -318,6 +323,8 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
             ci = inputs.capture_indices
             kw["capture_indices"] = (jnp.concatenate([ci, ci], axis=0)
                                      if cfg_batch else ci)
+            if dcfg.capture_quant:
+                kw["capture_quant"] = True
 
         if dcfg.mode == "dual":
             branch_cond = jnp.concatenate([masked_lat, mask[..., None]], axis=-1)

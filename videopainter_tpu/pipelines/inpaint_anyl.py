@@ -78,6 +78,10 @@ class CogVideoXI2VDualInpaintAnyLPipeline(CogVideoXI2VDualInpaintPipeline):
         compress_capture: Optional[int] = 2048,  # bucket for compressed
         # cross-window state capture (ID-resample path only; bit-exact —
         # see common.capture_token_indices). None/0 keeps full [L,2B,S,D].
+        capture_int8: bool = False,  # additionally store the compressed
+        # capture as per-token int8 (+scales) — ~0.4% state error, halves
+        # it again; pairs with the int8 W8A8 serving mode which quantizes
+        # these states at the projections anyway.
         progress_fn=None,   # called with (done_steps, total_steps) across windows
         dtype=jnp.float32,
     ):
@@ -202,7 +206,9 @@ class CogVideoXI2VDualInpaintAnyLPipeline(CogVideoXI2VDualInpaintPipeline):
                 inputs = inputs._replace(capture_indices=capture_token_indices(
                     inputs.mask, self.transformer.cfg.patch_size,
                     text_len=embeds.shape[1], bucket=int(compress_capture)))
-            dcfg = dc_replace(base_dcfg, capture_hidden_states=capture)
+            dcfg = dc_replace(base_dcfg, capture_hidden_states=capture,
+                              capture_quant=bool(capture_int8 and capture
+                                                 and can_compress))
             denoise = self._get_denoise(dcfg, timesteps)
 
             if progress_fn is not None:
@@ -235,6 +241,12 @@ class CogVideoXI2VDualInpaintAnyLPipeline(CogVideoXI2VDualInpaintPipeline):
                     ci = inputs.capture_indices
                     prev_state["prev_hidden_indices"] = (
                         jnp.concatenate([ci, ci], axis=0) if do_cfg else ci)
+            else:
+                # release the cross-window state (GiBs at flagship dims) the
+                # moment no later window will read it — on a single chip it
+                # must not stay resident through the final VAE decode
+                prev_state = None
+                hs_list = resample_mask = None
 
             # accumulate into the global latent timeline (:1052-1064)
             start = window_start(window_idx)
