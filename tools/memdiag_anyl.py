@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--bucket", type=int, default=2048)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--int8_attn", action="store_true")
+    ap.add_argument("--capture_int8", action="store_true",
+                    help="size the per-token int8 capture variant")
     args = ap.parse_args()
 
     import jax
@@ -111,7 +113,13 @@ def main():
     mask_lat = jax.ShapeDtypeStruct((B, T_lat, H_lat, W_lat), dtype)
     e_half = jax.ShapeDtypeStruct((B, text_len, 4096), dtype)
     cap_idx = jax.ShapeDtypeStruct(cap_idx_c.shape, jnp.int32)
-    prev_h = jax.ShapeDtypeStruct((args.layers, B, M, 3072), dtype)
+    if args.capture_int8:
+        prev_h = {"values": jax.ShapeDtypeStruct((args.layers, B, M, 3072),
+                                                 jnp.int8),
+                  "scales": jax.ShapeDtypeStruct((args.layers, B, M),
+                                                 jnp.float32)}
+    else:
+        prev_h = jax.ShapeDtypeStruct((args.layers, B, M, 3072), dtype)
     prev_m = jax.ShapeDtypeStruct((B, s_joint), jnp.bool_)
     prev_i = jax.ShapeDtypeStruct((B, M), jnp.int32)
 
@@ -127,7 +135,9 @@ def main():
                                 branch_block_masks=mask,
                                 id_pool_resample=True,
                                 return_hidden_states=True,
-                                capture_indices=ci, use_flash=use_flash)
+                                capture_indices=ci,
+                                capture_quant=args.capture_int8,
+                                use_flash=use_flash)
         return out.sample, out.hidden_states_list, out.resample_mask
 
     def seg_like_w1(params, lat_, masked, img, mask, e, ph, pm, pi):
