@@ -186,6 +186,20 @@ def test_flash_int8_close_to_exact(s_q, s_k, int8_pv):
     assert cos > 0.999, cos
 
 
+def test_flash_int8_grad_raises():
+    """int8 flash is inference-only: autodiff must fail loudly, not silently
+    return zero gradients through the quantization round."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from videopainter_tpu.ops.flash_attention_int8 import flash_attention_int8
+
+    q = jnp.zeros((1, 2, 128, 64))
+    with pltpu.force_tpu_interpret_mode():
+        with pytest.raises(NotImplementedError):
+            jax.grad(lambda x: jnp.sum(
+                flash_attention_int8(x, x, x, blk_q=128, blk_k=128)))(q)
+
+
 @pytest.mark.parametrize("mode", ["int8", "int8pv"])
 def test_int8_attention_routes_all_processor_variants(mode):
     """use_flash="int8"/"int8pv" must route every processor variant (base,

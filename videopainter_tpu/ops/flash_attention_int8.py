@@ -139,8 +139,31 @@ def flash_attention_int8(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     Quantization (K mean-centering + per-block symmetric int8) happens here
     and fuses into the caller's XLA program; the Pallas kernel consumes int8
-    operands. Forward/inference only — use `flash_attention` for training.
+    operands. Forward/inference only — use `flash_attention` for training:
+    differentiating through the int8 round would silently produce zero
+    gradients, so the custom_vjp below fails loudly under autodiff instead.
     """
+
+    @jax.custom_vjp
+    def run(q, k, v):
+        return _int8_flash_impl(q, k, v, scale, blk_q=blk_q, blk_k=blk_k,
+                                int8_pv=int8_pv)
+
+    def _fwd(q, k, v):
+        return run(q, k, v), None
+
+    def _bwd(res, g):
+        raise NotImplementedError(
+            "flash_attention_int8 is inference-only (no useful gradient "
+            "through int8 rounding); use use_flash=True for training")
+
+    run.defvjp(_fwd, _bwd)
+    return run(q, k, v)
+
+
+def _int8_flash_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     scale: Optional[float], *, blk_q: int, blk_k: int,
+                     int8_pv: bool) -> jnp.ndarray:
     b, h, s_q, d = q.shape
     s_k = k.shape[2]
     if scale is None:
