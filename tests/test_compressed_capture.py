@@ -103,6 +103,19 @@ def test_capture_int8_close_to_full(rs_stack):
     assert not np.array_equal(q, full)  # it IS lossy — guard the test itself
 
 
+def test_capture_int8_sequential_cfg_matches_batched(rs_stack):
+    """The int8-capture dict must split/concat correctly through the
+    sequential-CFG half() path — sequential and batched CFG runs with
+    capture_int8 must agree exactly (the same quantized states flow
+    through either path)."""
+    pipe, params = rs_stack
+    b = np.asarray(pipe(params, compress_capture=4, capture_int8=True,
+                        **_anyl_kwargs()))
+    s = np.asarray(pipe(params, compress_capture=4, capture_int8=True,
+                        **_anyl_kwargs(sequential_cfg=True)))
+    np.testing.assert_allclose(s, b, rtol=2e-5, atol=2e-5)
+
+
 def test_capture_int8_dequant_error_bound(rs_stack):
     """Unit-level: the dict capture dequantizes to within per-token int8
     error of the bf16 capture (|x - deq(x)| <= scale/2 = max|x|/254)."""
