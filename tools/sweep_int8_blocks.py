@@ -53,8 +53,18 @@ def main():
     except Exception:
         pass
 
+    import functools
+
     from videopainter_tpu.ops.flash_attention import flash_attention
     from videopainter_tpu.ops.flash_attention_int8 import flash_attention_int8
+
+    # jit the FULL entry (quantization prologue included) — that is how the
+    # denoise step consumes it; unjitted, the prologue runs as ~15 eager
+    # axon dispatches and dominates the timing
+    @functools.lru_cache(maxsize=None)
+    def int8_fn(bq, bk, pv):
+        return jax.jit(lambda q, k, v: flash_attention_int8(
+            q, k, v, blk_q=bq, blk_k=bk, int8_pv=pv))
 
     b, h, s, d = 1, args.bh, args.seq, 64
     rng = np.random.RandomState(0)
@@ -63,11 +73,12 @@ def main():
     v = jnp.asarray(rng.randn(b, h, s, d) * 0.5, jnp.bfloat16)
     flops = 4.0 * h * s * s * d
 
-    t0 = timeit(lambda: flash_attention(q, k, v), args.iters)
+    bf16_fn = jax.jit(lambda q, k, v: flash_attention(q, k, v))
+    t0 = timeit(lambda: bf16_fn(q, k, v), args.iters)
     print(f"bf16 512x2048 (prod)     : {t0*1e3:8.2f} ms  "
           f"{flops/t0/1e12:6.1f} TF/s")
 
-    o_ref = np.asarray(flash_attention(q, k, v), np.float32)
+    o_ref = np.asarray(bf16_fn(q, k, v), np.float32)
 
     candidates = [(512, 2048), (1024, 2048), (512, 4096), (1024, 4096),
                   (2048, 2048), (256, 4096)]
@@ -76,14 +87,13 @@ def main():
         tag = "int8-qk-pv" if int8_pv else "int8-qk   "
         for bq, bk in candidates:
             try:
-                t = timeit(lambda bq=bq, bk=bk, pv=int8_pv: flash_attention_int8(
-                    q, k, v, blk_q=bq, blk_k=bk, int8_pv=pv), args.iters)
+                fn = int8_fn(bq, bk, int8_pv)
+                t = timeit(lambda: fn(q, k, v), args.iters)
             except Exception as e:
                 print(f"{tag} {bq}x{bk}: FAILED ({type(e).__name__}: "
                       f"{str(e)[:120]})")
                 continue
-            o = np.asarray(flash_attention_int8(q, k, v, blk_q=bq, blk_k=bk,
-                                                int8_pv=int8_pv), np.float32)
+            o = np.asarray(fn(q, k, v), np.float32)
             rel = np.abs(o - o_ref).mean() / (np.abs(o_ref).mean() + 1e-9)
             print(f"{tag} {bq}x{bk}: {t*1e3:8.2f} ms  {flops/t/1e12:6.1f} TF/s"
                   f"  ({t0/t:.2f}x bf16)  rel-L1 {rel:.4f}")
