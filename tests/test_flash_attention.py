@@ -235,3 +235,81 @@ def test_int8_attention_routes_all_processor_variants(mode):
             cos = (o.ravel() @ r.ravel()) / (
                 np.linalg.norm(o) * np.linalg.norm(r) + 1e-9)
             assert cos > 0.995, (kw.keys(), cos)
+
+
+@pytest.mark.parametrize("s", [199, 300])
+def test_flash_kv_len_prepadded_matches(s):
+    """Resident padded-sequence contract: flash over PRE-padded q/k/v with
+    kv_len=s must bit-match flash over the unpadded arrays — the kernel masks
+    keys past kv_len exactly as its own padding would, garbage in the k/v
+    tail never reaches a real query row, and garbage q rows only affect
+    their own (discarded) outputs."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, k, v = make_qkv(s, s, d=16)
+    sp = 512  # multiple of both blocks below
+    pad = sp - s
+    trash = 37.0  # non-zero garbage: proves masking, not zero-luck
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)), constant_values=trash)
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)), constant_values=trash)
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)), constant_values=trash)
+    with pltpu.force_tpu_interpret_mode():
+        ref = flash_attention(q, k, v, blk_q=128, blk_k=128)
+        out = flash_attention(qp, kp, vp, blk_q=128, blk_k=128,
+                              kv_len=s)[:, :, :s]
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_flash_kv_len_gradients():
+    """Backward through the kv_len path: real-position grads match exact
+    SDPA; padded-tail k/v grads are exactly zero (masked keys contribute
+    nothing)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    s, sp = 129, 256
+    q, k, v = make_qkv(s, s, d=16)
+    pad = sp - s
+
+    def loss_exact(q, k, v):
+        return jnp.sum(sdpa(q, k, v) ** 2)
+
+    def loss_flash_padded(qp, kp, vp):
+        out = flash_attention(qp, kp, vp, blk_q=128, blk_k=128,
+                              bwd_blk_k=128, kv_len=s)[:, :, :s]
+        return jnp.sum(out ** 2)
+
+    g_ref = jax.grad(loss_exact, argnums=(0, 1, 2))(q, k, v)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)), constant_values=3.0)
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)), constant_values=3.0)
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)), constant_values=3.0)
+    with pltpu.force_tpu_interpret_mode():
+        g_out = jax.grad(loss_flash_padded, argnums=(0, 1, 2))(qp, kp, vp)
+    for name, a, b in zip("qkv", g_out, g_ref):
+        np.testing.assert_allclose(np.asarray(a[:, :, :s]), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5, err_msg=f"d{name}")
+    # tail: dq rows are garbage-query grads (sliced off upstream by the pad
+    # VJP in real use); dk/dv tails MUST be zero — those keys are masked
+    np.testing.assert_array_equal(np.asarray(g_out[1][:, :, s:]), 0.0)
+    np.testing.assert_array_equal(np.asarray(g_out[2][:, :, s:]), 0.0)
+
+
+def test_flash_int8_kv_len_prepadded_close():
+    """int8 kernel with pre-padded inputs + kv_len: tracks the unpadded int8
+    call closely (not bitwise — the K mean and last-block scales see the
+    tail rows) and stays within the int8 band of exact SDPA."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from videopainter_tpu.ops.flash_attention_int8 import flash_attention_int8
+
+    s, sp = 300, 512
+    q, k, v = make_qkv(s, s, d=64)
+    pad = sp - s
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)), constant_values=1.5)
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)), constant_values=1.5)
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)), constant_values=1.5)
+    ref = np.asarray(sdpa(q, k, v))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(flash_attention_int8(qp, kp, vp, blk_q=128,
+                                              blk_k=128, kv_len=s))[:, :, :s]
+    rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-9)
+    assert rel < 0.025, rel

@@ -147,6 +147,25 @@ class CogVideoXBranch:
         else:
             _sp = lambda x: x
         h = _sp(h)
+        s_vid = h.shape[1]
+
+        # Resident padded sequence (models/dit.py _SEQ_PAD_MULTIPLE): pad the
+        # joint sequence once to the flash block multiple; exact for real
+        # tokens (padded keys masked in-kernel via kv_valid_len).
+        from .dit import _SEQ_PAD_MULTIPLE, _joint_identity_rope
+        kv_valid_len = None
+        seq_pad = 0
+        if use_flash and ring_mesh is None and seq_axis is None:
+            eff_text = 0 if cfg.wo_text else text_len
+            s_joint = eff_text + s_vid
+            padded_len = -(-s_joint // _SEQ_PAD_MULTIPLE) * _SEQ_PAD_MULTIPLE
+            seq_pad = padded_len - s_joint
+            if seq_pad:
+                kv_valid_len = s_joint
+                h = jnp.pad(h, ((0, 0), (0, seq_pad), (0, 0)))
+            if rope is not None:
+                rope = _joint_identity_rope(rope, eff_text,
+                                            eff_text + s_vid + seq_pad)
 
         num_heads = cfg.num_attention_heads
         wo_text = cfg.wo_text
@@ -161,11 +180,13 @@ class CogVideoXBranch:
                 if wo_text:
                     h2, _ = dit_block(bp, h, None, emb, rope,
                                       num_heads=num_heads, norm_eps=cfg.norm_eps,
-                                      use_flash=use_flash)
+                                      use_flash=use_flash,
+                                      kv_valid_len=kv_valid_len)
                     return h2, enc_h
                 return dit_block(bp, h, enc_h, emb, rope,
                                  num_heads=num_heads, norm_eps=cfg.norm_eps,
-                                 use_flash=use_flash, **ring_kw)
+                                 use_flash=use_flash,
+                                 kv_valid_len=kv_valid_len, **ring_kw)
 
             if remat:
                 fn = jax.checkpoint(fn)
@@ -174,6 +195,8 @@ class CogVideoXBranch:
             return (h, enc_h), h
 
         (_, _), block_samples = jax.lax.scan(scan_body, (h, enc_h), params["blocks"])
+        if seq_pad:
+            block_samples = block_samples[:, :, :s_vid]
 
         # per-layer zero-init projections, one stacked einsum (branch_cogvideox.py:416-421)
         bb = params["branch_blocks"]

@@ -39,6 +39,37 @@ from ..ops.patch_embed import init_patch_embed, patch_embed, unpatchify
 from ..ops.sincos import get_3d_sincos_pos_embed
 
 
+# Resident padded-sequence fast path: the joint [text ‖ video] sequence is
+# padded ONCE to the flash-attention block multiple (lcm of blk_q=512 and
+# blk_k=2048) and stays padded across all layers, instead of every layer's
+# attention padding q/k/v and slicing the output (~18 ms/layer of HBM copies
+# at flagship dims). Exact for real tokens: the kernel masks keys past
+# kv_valid_len exactly as the per-layer padding did, pad rows never feed real
+# outputs, and the tail is sliced off before the output head. (Results can
+# differ from the unpadded path by matmul-reassociation ulps only — the
+# dense ops see a different row count, which may change the backend's gemm
+# blocking; the computed quantities are identical.)
+_SEQ_PAD_MULTIPLE = 2048
+
+
+def _joint_identity_rope(rope, text_len: int, s_total: int):
+    """Extend the video cos/sin tables to the full (padded) joint sequence
+    with identity rows (cos=1, sin=0) over the text segment and pad tail.
+    apply_rotary_emb then runs in ONE shot over the sequence — x*1 +
+    rotate(x)*0 == x bit-exactly — removing the per-layer text/video
+    slice+concat copies (ops/attention._rope_video_slice fast path)."""
+    cos, sin = rope
+    d = cos.shape[-1]
+    tail = s_total - text_len - cos.shape[0]
+    cos_j = jnp.concatenate(
+        [jnp.ones((text_len, d), cos.dtype), cos,
+         jnp.ones((tail, d), cos.dtype)], axis=0)
+    sin_j = jnp.concatenate(
+        [jnp.zeros((text_len, d), sin.dtype), sin,
+         jnp.zeros((tail, d), sin.dtype)], axis=0)
+    return cos_j, sin_j
+
+
 # ---------------------------------------------------------------------------
 # Single block
 # ---------------------------------------------------------------------------
@@ -59,6 +90,7 @@ def dit_block(
     use_flash: bool = False,
     ring_axis: Optional[str] = None,
     ring_mesh=None,
+    kv_valid_len: Optional[int] = None,
 ):
     """One CogVideoXBlock (cogvideox_transformer_3d.py:125-216).
 
@@ -87,6 +119,7 @@ def dit_block(
         prev_clip_weight=prev_clip_weight,
         prev_resample_mask=prev_resample_mask,
         use_flash=use_flash, ring_axis=ring_axis, ring_mesh=ring_mesh,
+        kv_valid_len=kv_valid_len,
     )
 
     hidden_states = hidden_states + gate_msa * attn_h
@@ -273,6 +306,33 @@ class CogVideoXTransformer3D:
         else:
             prev_rs = prev_resample_mask
 
+        # Resident padded sequence (see _SEQ_PAD_MULTIPLE): base flash path
+        # only — the resample/prev-clip variants concatenate extra KV pages
+        # whose validity pattern the kernel's single kv_len mask can't
+        # express, and captures/ring shards must stay true-length.
+        kv_valid_len = None
+        seq_pad = 0
+        if (use_flash and ring_mesh is None and seq_axis is None
+                and prev_hidden_states is None
+                and self_guidance_hidden_states is None
+                and not return_hidden_states
+                and attn_resample_mask is None and prev_rs is None):
+            s_joint = text_len + s_vid
+            padded_len = -(-s_joint // _SEQ_PAD_MULTIPLE) * _SEQ_PAD_MULTIPLE
+            seq_pad = padded_len - s_joint
+            if seq_pad:
+                kv_valid_len = s_joint
+                h = jnp.pad(h, ((0, 0), (0, seq_pad), (0, 0)))
+                if patch_mask is not None:
+                    patch_mask = jnp.pad(patch_mask, ((0, 0), (0, seq_pad)))
+                if branch_block_samples is not None:
+                    branch_block_samples = jnp.pad(
+                        branch_block_samples,
+                        ((0, 0), (0, 0), (0, seq_pad), (0, 0)))
+            if rope is not None:
+                rope = _joint_identity_rope(rope, text_len,
+                                            text_len + s_vid + seq_pad)
+
         # Per-layer branch index: i // ceil(L / n_branch), or i if add_first (:596-609)
         n_layers = cfg.num_layers
         if branch_block_samples is not None:
@@ -328,6 +388,7 @@ class CogVideoXTransformer3D:
                 use_flash=use_flash,
                 ring_axis=seq_axis if ring_mesh is not None else None,
                 ring_mesh=ring_mesh,
+                kv_valid_len=kv_valid_len,
             )
             if self_guidance_hidden_states is not None:
                 sg = self_guidance_hidden_states[layer_idx]
@@ -371,6 +432,9 @@ class CogVideoXTransformer3D:
 
         layer_ids = jnp.arange(n_layers)
         (h, enc_h), hs_list = jax.lax.scan(scan_body, (h, enc_h), (params["blocks"], layer_ids))
+
+        if seq_pad:
+            h = h[:, :s_vid]
 
         # final norms (:613-620): 2B norms video only; 5B norms the joint sequence
         if not cfg.use_rotary_positional_embeddings:

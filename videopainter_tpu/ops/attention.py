@@ -67,10 +67,19 @@ def _pick_flash(use_flash):
 
 
 def _rope_video_slice(x: jnp.ndarray, rope, text_len: int) -> jnp.ndarray:
-    """Apply RoPE only to positions [text_len:] of [B, H, S, D]."""
+    """Apply RoPE only to positions [text_len:] of [B, H, S, D].
+
+    Fast path: if the cos/sin tables already cover the FULL sequence (the
+    resident padded-sequence mode builds joint tables with identity rows —
+    cos=1, sin=0 — over the text segment and pad tail), apply in one shot;
+    x*1 + rotate(x)*0 == x bit-exactly, and the per-layer slice+concat
+    HBM copies disappear.
+    """
     if rope is None:
         return x
     cos, sin = rope
+    if cos.shape[0] == x.shape[2]:
+        return apply_rotary_emb(x, cos, sin).astype(x.dtype)
     head = x[:, :, :text_len]
     tail = apply_rotary_emb(x[:, :, text_len:], cos, sin)
     return jnp.concatenate([head, tail.astype(x.dtype)], axis=2)
@@ -91,6 +100,10 @@ def joint_attention(
     ring_axis: Optional[str] = None,
     ring_mesh=None,
     qk_norm_eps: float = 1e-6,
+    kv_valid_len: Optional[int] = None,  # resident padded-sequence mode: the
+                                         # joint sequence arrives pre-padded to
+                                         # the flash block multiple; keys past
+                                         # this length are masked in-kernel
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Returns (attn_hidden_states, attn_encoder_hidden_states).
 
@@ -154,6 +167,13 @@ def joint_attention(
     q = _rope_video_slice(q, rope, text_len)
     k = _rope_video_slice(k, rope, text_len)
 
+    if kv_valid_len is not None and (use_resample or has_prev or
+                                     ring_axis is not None or not use_flash):
+        raise ValueError(
+            "kv_valid_len (resident padded sequence) is only supported on the "
+            "base FLASH attention path; models disable residency for resample/"
+            "prev-clip/ring variants and the exact-SDPA mode")
+
     if use_resample:
         km = _split_heads(key_mask_flat, num_heads)
         vm = _split_heads(value_mask_flat, num_heads)
@@ -202,7 +222,7 @@ def joint_attention(
         out = jnp.concatenate([out_t, out_v], axis=2)
     else:
         if use_flash:
-            out = _pick_flash(use_flash)(q, k, v)
+            out = _pick_flash(use_flash)(q, k, v, kv_len=kv_valid_len)
         else:
             out = sdpa(q, k, v)
 

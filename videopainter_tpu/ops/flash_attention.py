@@ -258,24 +258,24 @@ def _pad_qkv(q, k, v, blk_q, blk_k):
     return qf, kf, vf
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash(q, k, v, scale, blk_q, blk_k, bwd_blk_k):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash(q, k, v, scale, blk_q, blk_k, bwd_blk_k, kv_len):
     b, h, s_q, d = q.shape
     qf, kf, vf = _pad_qkv(q, k, v, blk_q, blk_k)
-    out = _flash_padded(qf, kf, vf, scale, k.shape[2], blk_q, blk_k)
+    out = _flash_padded(qf, kf, vf, scale, kv_len, blk_q, blk_k)
     return out.reshape(b, h, -1, d)[:, :, :s_q]
 
 
-def _flash_fwd(q, k, v, scale, blk_q, blk_k, bwd_blk_k):
+def _flash_fwd(q, k, v, scale, blk_q, blk_k, bwd_blk_k, kv_len):
     b, h, s_q, d = q.shape
     qf, kf, vf = _pad_qkv(q, k, v, blk_q, blk_k)
-    out, lse = _flash_padded(qf, kf, vf, scale, k.shape[2], blk_q, blk_k,
+    out, lse = _flash_padded(qf, kf, vf, scale, kv_len, blk_q, blk_k,
                              with_lse=True)
     return (out.reshape(b, h, -1, d)[:, :, :s_q],
             (q, k, v, out, lse))
 
 
-def _flash_bwd(scale, blk_q, blk_k, bwd_blk_k, res, g):
+def _flash_bwd(scale, blk_q, blk_k, bwd_blk_k, kv_len, res, g):
     q, k, v, out_p, lse = res
     b, h, s_q, d = q.shape
     s_k = k.shape[2]
@@ -288,7 +288,7 @@ def _flash_bwd(scale, blk_q, blk_k, bwd_blk_k, res, g):
     lse8 = jnp.broadcast_to(lse[:, None, :], (lse.shape[0], 8, lse.shape[1]))
     dlt8 = jnp.broadcast_to(delta[:, None, :],
                             (delta.shape[0], 8, delta.shape[1]))
-    dq, dk, dv = _flash_bwd_padded(qf, kf, vf, dof, lse8, dlt8, scale, s_k,
+    dq, dk, dv = _flash_bwd_padded(qf, kf, vf, dof, lse8, dlt8, scale, kv_len,
                                    blk_q, bwd_blk_k)
     dq = dq.reshape(b, h, sqp, d)[:, :, :s_q]
     dk = dk.reshape(b, h, -1, d)[:, :, :s_k]
@@ -301,7 +301,8 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 def flash_attention_with_lse(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                              scale: Optional[float] = None, *,
-                             blk_q: int = 512, blk_k: int = 2048):
+                             blk_q: int = 512, blk_k: int = 2048,
+                             kv_len: Optional[int] = None):
     """Forward-only flash attention returning (out, lse) with
     lse = logsumexp of the scaled scores per query row - the merge state for
     ring attention (parallel/ring_attention.py combines shards in
@@ -310,8 +311,9 @@ def flash_attention_with_lse(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if scale is None:
         scale = d ** -0.5
     qf, kf, vf = _pad_qkv(q, k, v, blk_q, blk_k)
-    out, lse = _flash_padded(qf, kf, vf, float(scale), k.shape[2], blk_q,
-                             blk_k, with_lse=True)
+    out, lse = _flash_padded(qf, kf, vf, float(scale),
+                             kv_len if kv_len is not None else k.shape[2],
+                             blk_q, blk_k, with_lse=True)
     out = out.reshape(b, h, -1, d)[:, :, :s_q]
     lse = lse.reshape(b, h, -1)[:, :, :s_q]
     return out, lse
@@ -319,16 +321,23 @@ def flash_attention_with_lse(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     scale: Optional[float] = None, *, blk_q: int = 512,
-                    blk_k: int = 2048, bwd_blk_k: int = 2048) -> jnp.ndarray:
+                    blk_k: int = 2048, bwd_blk_k: int = 2048,
+                    kv_len: Optional[int] = None) -> jnp.ndarray:
     """Bidirectional flash attention. q, k, v: [B, H, S, D]. Returns [B, H, S, D].
 
     Pads sequence lengths to block multiples; padded keys are masked, padded
     queries sliced off. Differentiable (custom VJP with Pallas backward
     kernels); `chunked_attention` remains as the pure-JAX fallback.
+
+    kv_len: number of VALID keys when k/v arrive pre-padded (the resident
+    padded-sequence fast path — models/dit.py pads the joint sequence ONCE
+    to the block multiple instead of per layer, and keys beyond kv_len are
+    masked exactly as the per-layer padding used to be). Default: all of S_k.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    return _flash(q, k, v, float(scale), blk_q, blk_k, bwd_blk_k)
+    return _flash(q, k, v, float(scale), blk_q, blk_k, bwd_blk_k,
+                  kv_len if kv_len is not None else k.shape[2])
 
 
 # ---------------------------------------------------------------------------

@@ -133,8 +133,8 @@ def _block_quantize(x32: jnp.ndarray, blk: int):
 
 def flash_attention_int8(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          scale: Optional[float] = None, *, blk_q: int = 512,
-                         blk_k: int = 2048,
-                         int8_pv: bool = False) -> jnp.ndarray:
+                         blk_k: int = 2048, int8_pv: bool = False,
+                         kv_len: Optional[int] = None) -> jnp.ndarray:
     """int8-QK^T flash attention. q, k, v: [B, H, S, D] (bf16/f32 in, same out).
 
     Quantization (K mean-centering + per-block symmetric int8) happens here
@@ -142,12 +142,17 @@ def flash_attention_int8(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     operands. Forward/inference only — use `flash_attention` for training:
     differentiating through the int8 round would silently produce zero
     gradients, so the custom_vjp below fails loudly under autodiff instead.
+
+    kv_len: number of valid keys when k/v arrive pre-padded (the resident
+    padded-sequence path). The K mean-centering then includes the padded tail
+    rows — still EXACT (any per-(b,h) constant shift is softmax-invariant);
+    only the int8 scale quality of the last block is marginally affected.
     """
 
     @jax.custom_vjp
     def run(q, k, v):
         return _int8_flash_impl(q, k, v, scale, blk_q=blk_q, blk_k=blk_k,
-                                int8_pv=int8_pv)
+                                int8_pv=int8_pv, kv_len=kv_len)
 
     def _fwd(q, k, v):
         return run(q, k, v), None
@@ -163,7 +168,8 @@ def flash_attention_int8(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def _int8_flash_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                      scale: Optional[float], *, blk_q: int, blk_k: int,
-                     int8_pv: bool) -> jnp.ndarray:
+                     int8_pv: bool,
+                     kv_len: Optional[int] = None) -> jnp.ndarray:
     b, h, s_q, d = q.shape
     s_k = k.shape[2]
     if scale is None:
@@ -206,5 +212,6 @@ def _int8_flash_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     deq_k = deq_k.at[:, :, 1].set(rep(sv, nk))
 
     out = _int8_flash_padded(deq_q, deq_k, q_i8, k_i8, v_in, float(scale),
-                             s_k, blk_q, blk_k, int8_pv, q.dtype)
+                             kv_len if kv_len is not None else s_k,
+                             blk_q, blk_k, int8_pv, q.dtype)
     return out.reshape(b, h, -1, d)[:, :, :s_q]
