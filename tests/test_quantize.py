@@ -193,3 +193,26 @@ def test_pipeline_int8_attention_quality():
     mse = float(np.square(np.asarray(got) / 2 - np.asarray(ref) / 2).mean())
     psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
     assert psnr > 25.0, f"int8+int8attn pipeline PSNR {psnr:.1f} dB"
+
+
+def test_compact_params_bit_identical():
+    """utils.compact_params re-materializes a mixed-dtype tree (int8 kernels +
+    scales + bf16 leaves) through one jitted copy program without changing a
+    bit, a dtype, or the tree structure (single-chip defrag pass; see
+    utils/memory.py)."""
+    from videopainter_tpu.utils import compact_params
+
+    cfg = TransformerConfig.tiny()
+    transformer = CogVideoXTransformer3D(cfg)
+    params = {"transformer": quantize_transformer_int8(
+        transformer.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)),
+        "extra": jnp.arange(7, dtype=jnp.int32)}
+    flat_before = jax.tree.leaves_with_path(params)
+
+    out = compact_params(params)
+
+    flat_after = jax.tree.leaves_with_path(out)
+    assert [p for p, _ in flat_before] == [p for p, _ in flat_after]
+    for (_, a), (_, b) in zip(flat_before, flat_after):
+        assert a.dtype == b.dtype and a.shape == b.shape
+        assert np.array_equal(np.asarray(a), np.asarray(b))

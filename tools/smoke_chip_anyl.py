@@ -108,6 +108,7 @@ def main():
 
     if not args.bf16:
         from videopainter_tpu.quantize import quantize_transformer_int8
+        from videopainter_tpu.utils import compact_params
 
         t0 = time.time()
         params["transformer"] = quantize_transformer_int8(
@@ -115,6 +116,13 @@ def main():
         params["branch"] = quantize_transformer_int8(
             params["branch"], free_source=True)
         jax.block_until_ready((params["transformer"], params["branch"]))
+        # free_source quantization drops int8 leaves into the holes left by
+        # the freed bf16 kernels and checkerboards the heap; the denoise
+        # scan's multi-GiB contiguous temp arena then can't be placed
+        # (RESOURCE_EXHAUSTED at the first window even though total free HBM
+        # is ample). Re-materialize the tree through one jitted copy program
+        # so it occupies one dense region (utils/memory.py).
+        params = compact_params(params)
         print(f"int8 quantize: {time.time()-t0:.1f}s, "
               f"{sum(x.nbytes for x in jax.tree.leaves(params))/2**30:.2f} GiB")
 

@@ -168,11 +168,17 @@ def generate_video(args, first_frame_inpaint_fn: Optional[Callable] = None,
         # single-chip deployment mode: W8A8 block projections; on a 16 GB
         # chip the bf16 42L stack cannot share HBM with the VAE (CLAUDE.md)
         from ..quantize import quantize_transformer_int8
+        from ..utils import compact_params
 
         params["transformer"] = quantize_transformer_int8(
             params["transformer"], free_source=True)
         params["branch"] = quantize_transformer_int8(params["branch"],
                                                      free_source=True)
+        # in-place quantization checkerboards the heap (int8 leaves in the
+        # holes of the freed bf16 kernels); re-materialize through one jitted
+        # copy so the denoise scan's contiguous temp arena can be placed
+        # (utils/memory.py; the anyl window denoise OOMed without this)
+        params = compact_params(params)
 
     video_u8, masks, caption = read_video_with_mask(
         args.meta_file_path, args.video_id, args.data_root,

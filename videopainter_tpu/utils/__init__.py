@@ -1,3 +1,4 @@
+from .memory import compact_params
 from .profiling import profile_region, maybe_profile
 
-__all__ = ["profile_region", "maybe_profile"]
+__all__ = ["compact_params", "profile_region", "maybe_profile"]
