@@ -197,3 +197,66 @@ def test_transformer_fused_qkv_matches(env):
                       rope=rope)
     np.testing.assert_allclose(np.asarray(out.sample), np.asarray(ref.sample),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_resident_flash_variant_paths_match_exact(env):
+    """dit.apply with use_flash now runs the resample / prev-resample /
+    prev-clip / capture paths RESIDENT (joint sequence padded once to the
+    flash block multiple, keys masked in-kernel) — each must match the exact
+    unpadded SDPA path, captures and the returned resample_mask must stay
+    true-length, and the compressed-indices scatter must build the padded
+    buffer exactly."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from videopainter_tpu.pipelines.common import capture_token_indices
+
+    g, model, params, hidden, text, timestep, rope = env
+    model_rs = CogVideoXTransformer3D(TINY_RS)
+    masks = jnp.asarray(g["io::masks"][:, :, 0])
+    prev = jnp.asarray(g["io::prev::prev_hs"])
+    prev_stack = jnp.stack([prev, prev])
+    prev_mask = jnp.asarray(g["io::resample_prev::prev_mask"])
+
+    cases = [
+        # (model, kwargs) — resample capture, resample+prev, prev-clip blend
+        (model_rs, dict(branch_block_masks=masks, id_pool_resample=True,
+                        return_hidden_states=True)),
+        (model_rs, dict(branch_block_masks=masks, id_pool_resample=True,
+                        prev_hidden_states=prev_stack, prev_clip_weight=0.4,
+                        prev_resample_mask=prev_mask)),
+        (model, dict(prev_hidden_states=prev_stack, prev_clip_weight=0.3)),
+    ]
+    for m, kw in cases:
+        ref = m.apply(params, hidden, text, timestep, rope=rope, **kw)
+        with pltpu.force_tpu_interpret_mode():
+            out = m.apply(params, hidden, text, timestep, rope=rope,
+                          use_flash=True, **kw)
+        np.testing.assert_allclose(np.asarray(out.sample),
+                                   np.asarray(ref.sample),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=str(kw.keys()))
+        if ref.hidden_states_list is not None:
+            assert (out.hidden_states_list.shape
+                    == ref.hidden_states_list.shape)  # true-length captures
+            np.testing.assert_allclose(np.asarray(out.hidden_states_list),
+                                       np.asarray(ref.hidden_states_list),
+                                       rtol=2e-4, atol=2e-4)
+        if ref.resample_mask is not None:
+            np.testing.assert_array_equal(np.asarray(out.resample_mask),
+                                          np.asarray(ref.resample_mask))
+
+    # compressed prev indices: the resident scatter builds the padded buffer
+    s_joint = text.shape[1] + hidden.shape[1] * (hidden.shape[2] // 2) * (
+        hidden.shape[3] // 2)
+    ci = capture_token_indices(masks, 2, text_len=text.shape[1], bucket=4)
+    take = jnp.take_along_axis(
+        prev_stack, jnp.clip(ci, 0, s_joint - 1)[None, ..., None], axis=2)
+    kw = dict(branch_block_masks=masks, id_pool_resample=True,
+              prev_hidden_states=take, prev_clip_weight=0.4,
+              prev_resample_mask=prev_mask, prev_hidden_indices=ci)
+    ref = model_rs.apply(params, hidden, text, timestep, rope=rope, **kw)
+    with pltpu.force_tpu_interpret_mode():
+        out = model_rs.apply(params, hidden, text, timestep, rope=rope,
+                             use_flash=True, **kw)
+    np.testing.assert_allclose(np.asarray(out.sample), np.asarray(ref.sample),
+                               rtol=2e-4, atol=2e-4)

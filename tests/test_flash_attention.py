@@ -313,3 +313,144 @@ def test_flash_int8_kv_len_prepadded_close():
                                               blk_k=128, kv_len=s))[:, :, :s]
     rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-9)
     assert rel < 0.025, rel
+
+
+@pytest.mark.parametrize("s,page,blk_k", [(100, 128, 128), (100, 192, 128),
+                                          (300, 384, 512)])
+def test_flash_kv_paged_matches(s, page, blk_k):
+    """Paged KV validity ((i % page) < kv_len, capped at the true concat
+    length): flash over K built as two pre-padded pages must match exact SDPA
+    over the two truncated pages. Cases cover a block-aligned page, a page
+    boundary inside a K block, and a padded tail past the concat length
+    (where the modulo would alias into valid offsets without the cap)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, k1, v1 = make_qkv(s, s, d=16, seed=0)
+    _, k2, v2 = make_qkv(s, s, d=16, seed=1)
+    ref = sdpa(q[:, :, :s], jnp.concatenate([k1, k2], axis=2),
+               jnp.concatenate([v1, v2], axis=2))
+
+    trash = 5.0
+    pad = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, page - s), (0, 0)),
+                            constant_values=trash)
+    qp = pad(q)
+    kp = jnp.concatenate([pad(k1), pad(k2)], axis=2)
+    vp = jnp.concatenate([pad(v1), pad(v2)], axis=2)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(qp, kp, vp, blk_q=128, blk_k=blk_k,
+                              kv_len=s, kv_page_len=page)[:, :, :s]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_kv_paged_gradients():
+    """Backward through the paged mask: real-position grads match exact SDPA
+    over the truncated pages; both pages' padded-tail dk/dv are exactly
+    zero."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    s, page = 100, 128
+    q, k1, v1 = make_qkv(s, s, d=16, seed=2)
+    _, k2, v2 = make_qkv(s, s, d=16, seed=3)
+
+    def loss_exact(q, k1, k2, v1, v2):
+        return jnp.sum(sdpa(q, jnp.concatenate([k1, k2], axis=2),
+                            jnp.concatenate([v1, v2], axis=2)) ** 2)
+
+    def loss_paged(qp, kp, vp):
+        out = flash_attention(qp, kp, vp, blk_q=128, blk_k=128,
+                              bwd_blk_k=128, kv_len=s,
+                              kv_page_len=page)[:, :, :s]
+        return jnp.sum(out ** 2)
+
+    g_ref = jax.grad(loss_exact, argnums=(0, 1, 2, 3, 4))(q, k1, k2, v1, v2)
+    pad = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, page - s), (0, 0)),
+                            constant_values=2.0)
+    qp = pad(q)
+    kp = jnp.concatenate([pad(k1), pad(k2)], axis=2)
+    vp = jnp.concatenate([pad(v1), pad(v2)], axis=2)
+    with pltpu.force_tpu_interpret_mode():
+        gq, gk, gv = jax.grad(loss_paged, argnums=(0, 1, 2))(qp, kp, vp)
+    np.testing.assert_allclose(np.asarray(gq[:, :, :s]), np.asarray(g_ref[0]),
+                               rtol=3e-4, atol=3e-5)
+    for pi, (dk_ref, dv_ref) in enumerate([(g_ref[1], g_ref[3]),
+                                           (g_ref[2], g_ref[4])]):
+        lo = pi * page
+        np.testing.assert_allclose(np.asarray(gk[:, :, lo:lo + s]),
+                                   np.asarray(dk_ref), rtol=3e-4, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(gv[:, :, lo:lo + s]),
+                                   np.asarray(dv_ref), rtol=3e-4, atol=3e-5)
+        np.testing.assert_array_equal(
+            np.asarray(gk[:, :, lo + s:lo + page]), 0.0)
+        np.testing.assert_array_equal(
+            np.asarray(gv[:, :, lo + s:lo + page]), 0.0)
+
+
+def test_flash_int8_kv_paged_close():
+    """int8 kernel with the paged mask stays in the int8 band of exact SDPA
+    over the truncated pages."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from videopainter_tpu.ops.flash_attention_int8 import flash_attention_int8
+
+    s, page = 300, 384
+    q, k1, v1 = make_qkv(s, s, d=64, seed=4)
+    _, k2, v2 = make_qkv(s, s, d=64, seed=5)
+    ref = np.asarray(sdpa(q, jnp.concatenate([k1, k2], axis=2),
+                          jnp.concatenate([v1, v2], axis=2)))
+    pad = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, page - s), (0, 0)),
+                            constant_values=1.5)
+    qp = pad(q)
+    kp = jnp.concatenate([pad(k1), pad(k2)], axis=2)
+    vp = jnp.concatenate([pad(v1), pad(v2)], axis=2)
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(flash_attention_int8(qp, kp, vp, blk_q=128,
+                                              blk_k=128, kv_len=s,
+                                              kv_page_len=page))[:, :, :s]
+    rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-9)
+    assert rel < 0.03, rel
+
+
+def test_attention_variants_resident_padded():
+    """joint_attention with kv_valid_len (resident padded sequence) must match
+    the exact unpadded processors for the ID-resample, prev-resample, and
+    prev-clip blend variants — the paths the flagship any-length pipeline
+    runs every window."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from videopainter_tpu.ops.attention import init_attention, joint_attention
+
+    p = init_attention(jax.random.PRNGKey(0), 32, num_heads=2)
+    h = jax.random.normal(jax.random.PRNGKey(1), (2, 24, 32))
+    e = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 32))
+    mask = jax.random.uniform(jax.random.PRNGKey(3), (2, 29)) > 0.5
+    prev = jax.random.normal(jax.random.PRNGKey(4), (2, 29, 32))
+    pmask = jax.random.uniform(jax.random.PRNGKey(5), (2, 29)) > 0.5
+
+    s_joint, s_pad = 29, 64
+    pad_tokens = lambda x: jnp.pad(
+        x, ((0, 0), (0, s_pad - s_joint), (0, 0)), constant_values=2.5)
+    pad_mask = lambda m: jnp.pad(m, ((0, 0), (0, s_pad - s_joint)))
+    hp = pad_tokens(h)  # video segment carries the joint pad tail
+
+    cases = [
+        (dict(resample_mask=mask), dict(resample_mask=pad_mask(mask))),
+        (dict(prev_hidden_states=prev, prev_clip_weight=0.3),
+         dict(prev_hidden_states=pad_tokens(prev), prev_clip_weight=0.3)),
+        (dict(prev_hidden_states=prev, prev_clip_weight=0.4,
+              prev_resample_mask=pmask),
+         dict(prev_hidden_states=pad_tokens(prev), prev_clip_weight=0.4,
+              prev_resample_mask=pad_mask(pmask))),
+    ]
+    for kw_ref, kw_pad in cases:
+        ref_h, ref_e = joint_attention(p, h, e, num_heads=2, **kw_ref)
+        with pltpu.force_tpu_interpret_mode():
+            out_h, out_e = joint_attention(p, hp, e, num_heads=2,
+                                           use_flash=True,
+                                           kv_valid_len=s_joint, **kw_pad)
+        np.testing.assert_allclose(np.asarray(out_h[:, :24]),
+                                   np.asarray(ref_h), rtol=3e-5, atol=3e-5,
+                                   err_msg=str(kw_ref.keys()))
+        np.testing.assert_allclose(np.asarray(out_e), np.asarray(ref_e),
+                                   rtol=3e-5, atol=3e-5,
+                                   err_msg=str(kw_ref.keys()))

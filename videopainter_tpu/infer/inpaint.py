@@ -229,7 +229,15 @@ def generate_video(args, first_frame_inpaint_fn: Optional[Callable] = None,
                               else "int8" if getattr(args, "int8_attn", False)
                               else getattr(args, "use_flash", False)),
                    sequential_cfg=getattr(args, "sequential_cfg", False),
-                   capture_int8=getattr(args, "capture_int8", False),
+                   # int8 capture defaults ON for the single-chip ID config:
+                   # with bf16 compressed capture the window-0 denoise
+                   # RESOURCE_EXHAUSTEDs at flagship dims (chip-validated;
+                   # CLAUDE.md) — params 6.9 + temps 2.7 + 3.0 GiB captures
+                   # leave no placement slack on a 16 GB chip
+                   capture_int8=(not getattr(args, "no_capture_int8", False)
+                                 and (getattr(args, "capture_int8", False)
+                                      or (getattr(args, "int8", False)
+                                          and bool(args.id_adapter)))),
                    rng=jax.random.PRNGKey(args.seed),
                    dtype={"bfloat16": jnp.bfloat16,
                           "float32": jnp.float32}[args.dtype],
@@ -284,7 +292,12 @@ def get_args(argv=None):
     p.add_argument("--capture_int8", action="store_true",
                    help="store the compressed cross-window ID state as "
                         "per-token int8 (+scales) - halves it again; "
-                        "single-chip headroom for large masks")
+                        "defaults ON when --int8 is combined with "
+                        "--id_adapter (the chip-validated single-chip "
+                        "config - bf16 capture OOMs window 0)")
+    p.add_argument("--no_capture_int8", action="store_true",
+                   help="force bf16 compressed capture in --int8 ID mode "
+                        "(needs more HBM headroom than one 16 GB chip)")
     p.add_argument("--sequential_cfg", action="store_true",
                    help="uncond/cond as two passes per step - halves "
                         "activation memory (single-chip 42L)")

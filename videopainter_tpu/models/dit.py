@@ -306,17 +306,18 @@ class CogVideoXTransformer3D:
         else:
             prev_rs = prev_resample_mask
 
-        # Resident padded sequence (see _SEQ_PAD_MULTIPLE): base flash path
-        # only — the resample/prev-clip variants concatenate extra KV pages
-        # whose validity pattern the kernel's single kv_len mask can't
-        # express, and captures/ring shards must stay true-length.
+        # Resident padded sequence (see _SEQ_PAD_MULTIPLE). All flash paths
+        # run resident: the base path masks keys past kv_valid_len, the
+        # resample variants' concatenated masked-KV page uses the kernel's
+        # PAGED mask ((i % S_pad) < kv_len, ops/flash_attention._kv_valid),
+        # and the prev-clip blend's two flash calls each take the plain
+        # kv_len. Ring/SP shards and the self-guidance swap (whose captured
+        # states are true-length [L, B, S_vid, D]) stay unpadded. The
+        # RETURNED resample_mask and hidden-state captures stay true-length.
         kv_valid_len = None
         seq_pad = 0
         if (use_flash and ring_mesh is None and seq_axis is None
-                and prev_hidden_states is None
-                and self_guidance_hidden_states is None
-                and not return_hidden_states
-                and attn_resample_mask is None and prev_rs is None):
+                and self_guidance_hidden_states is None):
             s_joint = text_len + s_vid
             padded_len = -(-s_joint // _SEQ_PAD_MULTIPLE) * _SEQ_PAD_MULTIPLE
             seq_pad = padded_len - s_joint
@@ -329,6 +330,11 @@ class CogVideoXTransformer3D:
                     branch_block_samples = jnp.pad(
                         branch_block_samples,
                         ((0, 0), (0, 0), (0, seq_pad), (0, 0)))
+                if attn_resample_mask is not None:
+                    attn_resample_mask = jnp.pad(attn_resample_mask,
+                                                 ((0, 0), (0, seq_pad)))
+                if prev_rs is not None:
+                    prev_rs = jnp.pad(prev_rs, ((0, 0), (0, seq_pad)))
             if rope is not None:
                 rope = _joint_identity_rope(rope, text_len,
                                             text_len + s_vid + seq_pad)
@@ -371,13 +377,28 @@ class CogVideoXTransformer3D:
                     # processor reads (prev_resample_mask zeroes the rest
                     # either way, ops/attention.py:133-134), so scattering
                     # them into a zero joint-sequence buffer is bit-exact.
-                    # Pad indices land in the extra slot S_joint, sliced off.
                     s_joint = text_len + s_vid
-                    full = jnp.zeros((b, s_joint + 1, prev_h.shape[-1]),
-                                     prev_h.dtype)
-                    full = full.at[jnp.arange(b)[:, None],
-                                   prev_hidden_indices].set(prev_h)
-                    prev_h = full[:, :s_joint]
+                    if seq_pad:
+                        # resident mode: build the buffer at the padded length
+                        # directly; the pipelines' dump slot s_joint lands in
+                        # the pad region, which prev_rs zeroes and the
+                        # kernel's paged mask excludes — no slice copy
+                        full = jnp.zeros((b, s_joint + seq_pad,
+                                          prev_h.shape[-1]), prev_h.dtype)
+                        prev_h = full.at[jnp.arange(b)[:, None],
+                                         prev_hidden_indices].set(prev_h)
+                    else:
+                        # pad indices land in the extra slot S_joint, sliced
+                        full = jnp.zeros((b, s_joint + 1, prev_h.shape[-1]),
+                                         prev_h.dtype)
+                        full = full.at[jnp.arange(b)[:, None],
+                                       prev_hidden_indices].set(prev_h)
+                        prev_h = full[:, :s_joint]
+                elif seq_pad:
+                    # full-sequence prev state arrives true-length; pad this
+                    # layer's page to the resident length (tail keys are
+                    # masked in-kernel)
+                    prev_h = jnp.pad(prev_h, ((0, 0), (0, seq_pad), (0, 0)))
             h, enc_h = dit_block(
                 bp, h, enc_h, emb, rope,
                 num_heads=num_heads, norm_eps=norm_eps,
@@ -413,6 +434,9 @@ class CogVideoXTransformer3D:
             ys = None
             if return_hidden_states:
                 ys = jnp.concatenate([enc_h, h], axis=1)
+                if seq_pad and capture_indices is None:
+                    # captures are a cross-window contract: stay true-length
+                    ys = ys[:, :text_len + s_vid]
                 if capture_indices is not None:
                     # compressed capture: keep only the masked-region tokens
                     # (pad slots gather a clamped in-range token; the

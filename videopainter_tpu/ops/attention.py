@@ -167,12 +167,11 @@ def joint_attention(
     q = _rope_video_slice(q, rope, text_len)
     k = _rope_video_slice(k, rope, text_len)
 
-    if kv_valid_len is not None and (use_resample or has_prev or
-                                     ring_axis is not None or not use_flash):
+    if kv_valid_len is not None and (ring_axis is not None or not use_flash):
         raise ValueError(
             "kv_valid_len (resident padded sequence) is only supported on the "
-            "base FLASH attention path; models disable residency for resample/"
-            "prev-clip/ring variants and the exact-SDPA mode")
+            "FLASH attention paths; models disable residency for ring/SP "
+            "shards and the exact-SDPA mode")
 
     if use_resample:
         km = _split_heads(key_mask_flat, num_heads)
@@ -183,8 +182,16 @@ def joint_attention(
         k = jnp.concatenate([k, km], axis=2)
         v = jnp.concatenate([v, vm], axis=2)
         if use_flash:
-            # S_kv = 2*S_q — the kernel takes ragged/asymmetric kv lengths
-            out = _pick_flash(use_flash)(q, k, v)
+            if kv_valid_len is not None:
+                # resident padded sequence: K = [joint page ‖ masked-KV page],
+                # both of length S_pad with the same kv_valid_len validity —
+                # the kernel's paged mask ((i % S_pad) < kv_len) excludes
+                # exactly the rows the per-layer padding never created
+                out = _pick_flash(use_flash)(q, k, v, kv_len=kv_valid_len,
+                                             kv_page_len=q.shape[2])
+            else:
+                # S_kv = 2*S_q — the kernel takes ragged/asymmetric kv lengths
+                out = _pick_flash(use_flash)(q, k, v)
         else:
             out = sdpa(q, k, v)
     elif has_prev:
@@ -204,9 +211,12 @@ def joint_attention(
         if use_flash:
             # the blend is linear in the attention OUTPUTS (:2156-2189), so
             # two flash calls replace the two SDPAs — at 17,776 tokens the
-            # exact path's score matrix cannot materialize on a chip
+            # exact path's score matrix cannot materialize on a chip. Under
+            # the resident padded sequence both K sets are single pre-padded
+            # pages, so the plain kv_len mask covers each call.
             fa = _pick_flash(use_flash)
-            out = fa(q, k, v) * (1.0 - w) + fa(q, pk, pv) * w
+            out = fa(q, k, v, kv_len=kv_valid_len) * (1.0 - w) \
+                + fa(q, pk, pv, kv_len=kv_valid_len) * w
         else:
             out = sdpa(q, k, v) * (1.0 - w) + sdpa(q, pk, pv) * w
     elif ring_axis is not None and ring_mesh is not None and text_len > 0:

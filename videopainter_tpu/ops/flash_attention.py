@@ -49,8 +49,25 @@ def _ceil_to(x: int, m: int) -> int:
 # Pallas forward kernel
 # ---------------------------------------------------------------------------
 
+def _kv_valid(col, kv_len: int, kv_page_len, kv_total):
+    """Key-validity mask shared by all kernels.
+
+    Plain mode (kv_page_len None): keys [0, kv_len) are valid — the resident
+    padded-sequence contract for a single KV segment.
+    Paged mode: K is a concatenation of equal-length pages of kv_page_len
+    rows, each valid up to kv_len (the ID-resample processor concatenates the
+    masked-KV page onto the padded joint sequence — ops/attention.py). The
+    extra `col < kv_total` cap is REQUIRED: _pad_qkv pads the concatenated K
+    to the block multiple, and those tail rows would otherwise alias into
+    valid page offsets under the modulo."""
+    if kv_page_len is None:
+        return col < kv_len
+    return (col < kv_total) & (jax.lax.rem(col, kv_page_len) < kv_len)
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
-                  scale: float, kv_len: int, with_lse: bool = False):
+                  scale: float, kv_len: int, kv_page_len=None, kv_total=0,
+                  with_lse: bool = False):
     """Grid (bh, nq, nk): innermost nk streams KV blocks; online-softmax state
     (m, l, acc) lives in VMEM scratch that persists across the nk iterations."""
     if with_lse:
@@ -74,7 +91,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
     s = jax.lax.dot_general(q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     col = jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1) + j * blk_k
-    s = jnp.where(col < kv_len, s, NEG_INF)
+    s = jnp.where(_kv_valid(col, kv_len, kv_page_len, kv_total), s, NEG_INF)
 
     m_prev = m_ref[:, :1]                       # [BLK_Q, 1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -97,8 +114,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
 
 @functools.partial(jax.jit,
                    static_argnames=("scale", "kv_len", "blk_q", "blk_k",
-                                    "with_lse"))
-def _flash_padded(q, k, v, scale, kv_len, blk_q, blk_k, with_lse=False):
+                                    "with_lse", "kv_page_len", "kv_total"))
+def _flash_padded(q, k, v, scale, kv_len, blk_q, blk_k, with_lse=False,
+                  kv_page_len=None, kv_total=0):
     bh, s_q, d = q.shape
     s_k = k.shape[1]
     qspec = pl.BlockSpec((None, blk_q, d), lambda b, i, j: (b, i, 0),
@@ -116,6 +134,7 @@ def _flash_padded(q, k, v, scale, kv_len, blk_q, blk_k, with_lse=False):
                                       memory_space=pltpu.VMEM))
     res = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, kv_len=kv_len,
+                          kv_page_len=kv_page_len, kv_total=kv_total,
                           with_lse=with_lse),
         grid=(bh, s_q // blk_q, s_k // blk_k),
         in_specs=[qspec, kvspec, kvspec],
@@ -143,7 +162,8 @@ def _flash_padded(q, k, v, scale, kv_len, blk_q, blk_k, with_lse=False):
 # along sublanes for free and p = exp(s_t - lse) is already normalized.
 
 def _flash_dq_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dlt_ref, dq_ref,
-                     acc_ref, *, scale: float, kv_len: int):
+                     acc_ref, *, scale: float, kv_len: int, kv_page_len=None,
+                     kv_total=0):
     """Grid (bh, nq, nk): stream KV blocks, accumulate dQ for one Q block."""
     j = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -156,7 +176,8 @@ def _flash_dq_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dlt_ref, dq_ref,
     s_t = jax.lax.dot_general(k_ref[:], q_ref[:], (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32) * scale
     row = jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0) + j * blk_k
-    p_t = jnp.where(row < kv_len, jnp.exp(s_t - lse_ref[0:1, :]), 0.0)
+    p_t = jnp.where(_kv_valid(row, kv_len, kv_page_len, kv_total),
+                    jnp.exp(s_t - lse_ref[0:1, :]), 0.0)
     dp_t = jax.lax.dot_general(v_ref[:], do_ref[:], (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
     ds_t = p_t * (dp_t - dlt_ref[0:1, :]) * scale
@@ -172,7 +193,8 @@ def _flash_dq_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dlt_ref, dq_ref,
 
 def _flash_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dlt_ref,
                       dk_ref, dv_ref, dk_acc, dv_acc, *,
-                      scale: float, kv_len: int):
+                      scale: float, kv_len: int, kv_page_len=None,
+                      kv_total=0):
     """Grid (bh, nk, nq): stream Q blocks, accumulate dK/dV for one KV block.
 
     Zero-padded queries contribute nothing: their dO rows are zero (kills dV)
@@ -189,7 +211,8 @@ def _flash_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dlt_ref,
     s_t = jax.lax.dot_general(k_ref[:], q_ref[:], (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32) * scale
     row = jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0) +         pl.program_id(1) * blk_k
-    p_t = jnp.where(row < kv_len, jnp.exp(s_t - lse_ref[0:1, :]), 0.0)
+    p_t = jnp.where(_kv_valid(row, kv_len, kv_page_len, kv_total),
+                    jnp.exp(s_t - lse_ref[0:1, :]), 0.0)
     dv_acc[:] += jax.lax.dot_general(
         p_t.astype(do_ref.dtype), do_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -206,8 +229,11 @@ def _flash_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dlt_ref,
         dv_ref[:] = dv_acc[:].astype(dv_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "kv_len", "blk_q", "blk_k"))
-def _flash_bwd_padded(q, k, v, do, lse, delta, scale, kv_len, blk_q, blk_k):
+@functools.partial(jax.jit, static_argnames=("scale", "kv_len", "blk_q",
+                                             "blk_k", "kv_page_len",
+                                             "kv_total"))
+def _flash_bwd_padded(q, k, v, do, lse, delta, scale, kv_len, blk_q, blk_k,
+                      kv_page_len=None, kv_total=0):
     bh, sqp, d = q.shape
     skp = k.shape[1]
     kvspec = pl.BlockSpec((None, blk_k, d), lambda b, i, j: (b, j, 0),
@@ -220,7 +246,8 @@ def _flash_bwd_padded(q, k, v, do, lse, delta, scale, kv_len, blk_q, blk_k):
     vecspec = pl.BlockSpec((None, 8, blk_q), lambda b, i, j: (b, 0, i),
                            memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
-        functools.partial(_flash_dq_kernel, scale=scale, kv_len=kv_len),
+        functools.partial(_flash_dq_kernel, scale=scale, kv_len=kv_len,
+                          kv_page_len=kv_page_len, kv_total=kv_total),
         grid=(bh, sqp // blk_q, skp // blk_k),
         in_specs=[kvspec, kvspec, qspec, qspec, vecspec, vecspec],
         out_specs=qspec,
@@ -235,7 +262,8 @@ def _flash_bwd_padded(q, k, v, do, lse, delta, scale, kv_len, blk_q, blk_k):
     vecspec2 = pl.BlockSpec((None, 8, blk_q), lambda b, i, j: (b, 0, j),
                             memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_dkv_kernel, scale=scale, kv_len=kv_len),
+        functools.partial(_flash_dkv_kernel, scale=scale, kv_len=kv_len,
+                          kv_page_len=kv_page_len, kv_total=kv_total),
         grid=(bh, skp // blk_k, sqp // blk_q),
         in_specs=[kvspec2, kvspec2, qspec2, qspec2, vecspec2, vecspec2],
         out_specs=[kvspec2, kvspec2],
@@ -258,24 +286,28 @@ def _pad_qkv(q, k, v, blk_q, blk_k):
     return qf, kf, vf
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash(q, k, v, scale, blk_q, blk_k, bwd_blk_k, kv_len):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash(q, k, v, scale, blk_q, blk_k, bwd_blk_k, kv_len, kv_page_len):
     b, h, s_q, d = q.shape
+    kv_total = k.shape[2]
     qf, kf, vf = _pad_qkv(q, k, v, blk_q, blk_k)
-    out = _flash_padded(qf, kf, vf, scale, kv_len, blk_q, blk_k)
+    out = _flash_padded(qf, kf, vf, scale, kv_len, blk_q, blk_k,
+                        kv_page_len=kv_page_len, kv_total=kv_total)
     return out.reshape(b, h, -1, d)[:, :, :s_q]
 
 
-def _flash_fwd(q, k, v, scale, blk_q, blk_k, bwd_blk_k, kv_len):
+def _flash_fwd(q, k, v, scale, blk_q, blk_k, bwd_blk_k, kv_len, kv_page_len):
     b, h, s_q, d = q.shape
+    kv_total = k.shape[2]
     qf, kf, vf = _pad_qkv(q, k, v, blk_q, blk_k)
     out, lse = _flash_padded(qf, kf, vf, scale, kv_len, blk_q, blk_k,
-                             with_lse=True)
+                             with_lse=True, kv_page_len=kv_page_len,
+                             kv_total=kv_total)
     return (out.reshape(b, h, -1, d)[:, :, :s_q],
             (q, k, v, out, lse))
 
 
-def _flash_bwd(scale, blk_q, blk_k, bwd_blk_k, kv_len, res, g):
+def _flash_bwd(scale, blk_q, blk_k, bwd_blk_k, kv_len, kv_page_len, res, g):
     q, k, v, out_p, lse = res
     b, h, s_q, d = q.shape
     s_k = k.shape[2]
@@ -289,7 +321,8 @@ def _flash_bwd(scale, blk_q, blk_k, bwd_blk_k, kv_len, res, g):
     dlt8 = jnp.broadcast_to(delta[:, None, :],
                             (delta.shape[0], 8, delta.shape[1]))
     dq, dk, dv = _flash_bwd_padded(qf, kf, vf, dof, lse8, dlt8, scale, kv_len,
-                                   blk_q, bwd_blk_k)
+                                   blk_q, bwd_blk_k,
+                                   kv_page_len=kv_page_len, kv_total=s_k)
     dq = dq.reshape(b, h, sqp, d)[:, :, :s_q]
     dk = dk.reshape(b, h, -1, d)[:, :, :s_k]
     dv = dv.reshape(b, h, -1, d)[:, :, :s_k]
@@ -322,7 +355,8 @@ def flash_attention_with_lse(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     scale: Optional[float] = None, *, blk_q: int = 512,
                     blk_k: int = 2048, bwd_blk_k: int = 2048,
-                    kv_len: Optional[int] = None) -> jnp.ndarray:
+                    kv_len: Optional[int] = None,
+                    kv_page_len: Optional[int] = None) -> jnp.ndarray:
     """Bidirectional flash attention. q, k, v: [B, H, S, D]. Returns [B, H, S, D].
 
     Pads sequence lengths to block multiples; padded keys are masked, padded
@@ -333,11 +367,18 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     padded-sequence fast path — models/dit.py pads the joint sequence ONCE
     to the block multiple instead of per layer, and keys beyond kv_len are
     masked exactly as the per-layer padding used to be). Default: all of S_k.
+
+    kv_page_len: when K is a concatenation of equal-length pre-padded PAGES
+    (the ID-resample processor appends the masked-KV page to the padded
+    joint sequence), each page of kv_page_len rows is valid up to kv_len:
+    valid(i) = (i < S_k) & (i % kv_page_len < kv_len). Requires kv_len.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if kv_page_len is not None and kv_len is None:
+        raise ValueError("kv_page_len requires kv_len")
     return _flash(q, k, v, float(scale), blk_q, blk_k, bwd_blk_k,
-                  kv_len if kv_len is not None else k.shape[2])
+                  kv_len if kv_len is not None else k.shape[2], kv_page_len)
 
 
 # ---------------------------------------------------------------------------

@@ -36,14 +36,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .flash_attention import NEG_INF, _ceil_to
+from .flash_attention import NEG_INF, _ceil_to, _kv_valid
 
 __all__ = ["flash_attention_int8"]
 
 
 def _int8_flash_kernel(deq_q_ref, deq_k_ref, q_ref, k_ref, v_ref, o_ref,
                        m_ref, l_ref, acc_ref, *,
-                       sm_scale: float, kv_len: int, int8_pv: bool):
+                       sm_scale: float, kv_len: int, int8_pv: bool,
+                       kv_page_len=None, kv_total=0):
     """Grid (bh, nq, nk) like the bf16 kernel. deq_q_ref is the current
     q-block's [8, 128] (row-replicated) scale window (lane 0 = sq);
     deq_k_ref the current k-block's (lane 0 = sk, lane 1 = sv)."""
@@ -63,7 +64,7 @@ def _int8_flash_kernel(deq_q_ref, deq_k_ref, q_ref, k_ref, v_ref, o_ref,
     deq_qk = deq_q_ref[0, 0] * deq_k_ref[0, 0]
     s = s_i32.astype(jnp.float32) * (sm_scale * deq_qk)
     col = jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1) + j * blk_k
-    s = jnp.where(col < kv_len, s, NEG_INF)
+    s = jnp.where(_kv_valid(col, kv_len, kv_page_len, kv_total), s, NEG_INF)
 
     m_prev = m_ref[:, :1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -90,9 +91,11 @@ def _int8_flash_kernel(deq_q_ref, deq_k_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "kv_len", "blk_q",
-                                             "blk_k", "int8_pv", "out_dtype"))
+                                             "blk_k", "int8_pv", "out_dtype",
+                                             "kv_page_len", "kv_total"))
 def _int8_flash_padded(deq_q, deq_k, q_i8, k_i8, v, sm_scale, kv_len,
-                       blk_q, blk_k, int8_pv, out_dtype):
+                       blk_q, blk_k, int8_pv, out_dtype,
+                       kv_page_len=None, kv_total=0):
     bh, s_q, d = q_i8.shape
     s_k = k_i8.shape[1]
     qspec = pl.BlockSpec((None, blk_q, d), lambda b, i, j: (b, i, 0),
@@ -108,7 +111,8 @@ def _int8_flash_padded(deq_q, deq_k, q_i8, k_i8, v, sm_scale, kv_len,
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_int8_flash_kernel, sm_scale=sm_scale,
-                          kv_len=kv_len, int8_pv=int8_pv),
+                          kv_len=kv_len, int8_pv=int8_pv,
+                          kv_page_len=kv_page_len, kv_total=kv_total),
         grid=(bh, s_q // blk_q, s_k // blk_k),
         in_specs=[dqspec, dkspec, qspec, kvspec, kvspec],
         out_specs=qspec,
@@ -134,7 +138,8 @@ def _block_quantize(x32: jnp.ndarray, blk: int):
 def flash_attention_int8(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          scale: Optional[float] = None, *, blk_q: int = 512,
                          blk_k: int = 2048, int8_pv: bool = False,
-                         kv_len: Optional[int] = None) -> jnp.ndarray:
+                         kv_len: Optional[int] = None,
+                         kv_page_len: Optional[int] = None) -> jnp.ndarray:
     """int8-QK^T flash attention. q, k, v: [B, H, S, D] (bf16/f32 in, same out).
 
     Quantization (K mean-centering + per-block symmetric int8) happens here
@@ -147,12 +152,17 @@ def flash_attention_int8(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     padded-sequence path). The K mean-centering then includes the padded tail
     rows — still EXACT (any per-(b,h) constant shift is softmax-invariant);
     only the int8 scale quality of the last block is marginally affected.
+
+    kv_page_len: paged validity for concatenated pre-padded KV pages (the
+    ID-resample masked-KV page) — valid(i) = (i < S_k) & (i % kv_page_len
+    < kv_len); see ops/flash_attention._kv_valid.
     """
 
     @jax.custom_vjp
     def run(q, k, v):
         return _int8_flash_impl(q, k, v, scale, blk_q=blk_q, blk_k=blk_k,
-                                int8_pv=int8_pv, kv_len=kv_len)
+                                int8_pv=int8_pv, kv_len=kv_len,
+                                kv_page_len=kv_page_len)
 
     def _fwd(q, k, v):
         return run(q, k, v), None
@@ -168,8 +178,10 @@ def flash_attention_int8(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def _int8_flash_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                      scale: Optional[float], *, blk_q: int, blk_k: int,
-                     int8_pv: bool,
-                     kv_len: Optional[int] = None) -> jnp.ndarray:
+                     int8_pv: bool, kv_len: Optional[int] = None,
+                     kv_page_len: Optional[int] = None) -> jnp.ndarray:
+    if kv_page_len is not None and kv_len is None:
+        raise ValueError("kv_page_len requires kv_len")
     b, h, s_q, d = q.shape
     s_k = k.shape[2]
     if scale is None:
@@ -213,5 +225,6 @@ def _int8_flash_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     out = _int8_flash_padded(deq_q, deq_k, q_i8, k_i8, v_in, float(scale),
                              kv_len if kv_len is not None else s_k,
-                             blk_q, blk_k, int8_pv, q.dtype)
+                             blk_q, blk_k, int8_pv, q.dtype,
+                             kv_page_len=kv_page_len, kv_total=s_k)
     return out.reshape(b, h, -1, d)[:, :, :s_q]
