@@ -54,6 +54,10 @@ def main():
     ap.add_argument("--int8-pv", action="store_true",
                     help="int8-QK^T AND int8 P·V flash attention (the "
                          "fastest, slightly lossier attention mode)")
+    ap.add_argument("--no-resident", action="store_true",
+                    help="disable the resident padded sequence (per-layer "
+                         "attention padding instead) — perf A/B, exact "
+                         "numerics either way")
     args = ap.parse_args()
 
     import jax
@@ -215,15 +219,21 @@ def main():
     use_flash = ("int8pv" if args.int8_pv else
                  "int8" if args.int8_attn else (not args.tiny))
 
+    # None = the models' measured auto rule (int8 modes non-resident, bf16
+    # resident); --no-resident forces the per-layer padding for A/Bs
+    resident = False if args.no_resident else None
+
     def forward_one(params, latents, masked, image_latents, mask, embeds_b,
                     rope, ts):
         model_in = jnp.concatenate([latents, image_latents], axis=-1)
         cond = jnp.concatenate([masked, mask[..., None]], axis=-1)
         samples = branch.apply(params["branch"], latents, embeds_b, cond, ts,
-                               rope=rope, use_flash=use_flash)
+                               rope=rope, use_flash=use_flash,
+                               resident=resident)
         out = transformer.apply(params["transformer"], model_in, embeds_b, ts,
                                 rope=rope, branch_block_samples=samples,
-                                branch_block_masks=mask, use_flash=use_flash)
+                                branch_block_masks=mask, use_flash=use_flash,
+                                resident=resident)
         return out.sample
 
     def denoise_step(params, latents, masked, image_latents, mask, embeds,

@@ -115,6 +115,9 @@ class CogVideoXBranch:
         remat: bool = False,
         seq_axis: Optional[str] = None,
         ring_mesh=None,
+        resident: Optional[bool] = None,  # None = auto: non-resident under
+                                # the int8 attention modes (measured faster;
+                                # models/dit.py). Numerics exact either way.
     ) -> jnp.ndarray:
         """Returns stacked branch features [num_layers, B, S_vid, D].
 
@@ -153,9 +156,11 @@ class CogVideoXBranch:
         # joint sequence once to the flash block multiple; exact for real
         # tokens (padded keys masked in-kernel via kv_valid_len).
         from .dit import _SEQ_PAD_MULTIPLE, _joint_identity_rope
+        if resident is None:
+            resident = use_flash not in ("int8", "int8pv")
         kv_valid_len = None
         seq_pad = 0
-        if use_flash and ring_mesh is None and seq_axis is None:
+        if resident and use_flash and ring_mesh is None and seq_axis is None:
             eff_text = 0 if cfg.wo_text else text_len
             s_joint = eff_text + s_vid
             padded_len = -(-s_joint // _SEQ_PAD_MULTIPLE) * _SEQ_PAD_MULTIPLE

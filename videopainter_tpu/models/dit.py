@@ -245,6 +245,8 @@ class CogVideoXTransformer3D:
         remat: bool = False,
         seq_axis: Optional[str] = None,
         ring_mesh=None,
+        resident: Optional[bool] = None,  # resident padded sequence; None =
+                                # auto (see below). Numerics exact either way.
     ) -> TransformerOutput:
         """seq_axis: mesh axis name for GSPMD sequence parallelism - video
         tokens are sharding-constrained to P(None, seq_axis, None) at the
@@ -314,9 +316,23 @@ class CogVideoXTransformer3D:
         # kv_len. Ring/SP shards and the self-guidance swap (whose captured
         # states are true-length [L, B, S_vid, D]) stay unpadded. The
         # RETURNED resample_mask and hidden-state captures stay true-length.
+        if resident is None:
+            # Measured on v5e at flagship dims (CLAUDE.md): the resident
+            # padding's +3.7% rows cost the int8 modes MORE (per-token
+            # activation quantize + int8 dense scale with rows) than the
+            # saved per-layer pad copies — plain int8 forward 7477 vs
+            # 7583 ms/step resident — while bf16 nets the other way
+            # (8494 resident vs 8611). The variant paths (prev/resample/
+            # captures) keep residency: it also removes their double-page
+            # per-layer pad copies, lowering the transient-memory peak
+            # (those windows are the single-chip fit-critical ones).
+            plain = (prev_hidden_states is None and not id_pool_resample
+                     and not return_hidden_states
+                     and prev_resample_mask is None)
+            resident = not (use_flash in ("int8", "int8pv") and plain)
         kv_valid_len = None
         seq_pad = 0
-        if (use_flash and ring_mesh is None and seq_axis is None
+        if (resident and use_flash and ring_mesh is None and seq_axis is None
                 and self_guidance_hidden_states is None):
             s_joint = text_len + s_vid
             padded_len = -(-s_joint // _SEQ_PAD_MULTIPLE) * _SEQ_PAD_MULTIPLE
