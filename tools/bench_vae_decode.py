@@ -85,7 +85,12 @@ def main():
             ref = yf
             psnr = float("inf")
         else:
-            mse = float(np.mean((yf - ref) ** 2))
+            # non-default tiles can overshoot the sample size (reference
+            # tiled_decode quirk: no final crop, :1354-1356) — compare the
+            # common top-left region
+            h = min(yf.shape[2], ref.shape[2])
+            w = min(yf.shape[3], ref.shape[3])
+            mse = float(np.mean((yf[:, :, :h, :w] - ref[:, :, :h, :w]) ** 2))
             psnr = 10 * np.log10(4.0 / mse) if mse > 0 else float("inf")
         results.append({"config": name, "decode_s": round(dt, 2),
                         "fps": round((4 * args.frames - 3) / dt, 1),
