@@ -1,6 +1,10 @@
 """Benchmark: 49-frame 480x720 50-step dual-stream inpainting throughput.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints JSON lines {"metric": ..., "value": N, "unit": ..., "vs_baseline": N};
+the LAST line is the artifact. Auto mode (no --layers) emits a line after
+EVERY completed rung — headline first — so a driver timeout at any point
+still leaves the best-so-far result on record (round-2 lesson: the all-rungs-
+then-print design produced an empty artifact under a driver timeout).
 
 Measures the real hot path on the attached TPU chip:
  - fused branch(2L) + FULL 42-layer backbone denoise step at flagship dims
@@ -58,80 +62,153 @@ def main():
                     help="disable the resident padded sequence (per-layer "
                          "attention padding instead) — perf A/B, exact "
                          "numerics either way")
+    ap.add_argument("--budget", type=float, default=2400.0,
+                    help="auto-mode wall-clock budget in seconds; optional "
+                         "rungs are skipped once exceeded (the headline rung "
+                         "always gets the full budget)")
     args = ap.parse_args()
 
-    import jax
-
     if args.layers == 0 and not args.tiny:
-        # Auto mode. Headline rung: the TRUE 42-layer model, bf16, sequential
-        # CFG (two B=1 forwards — the batched B=2 program's activations don't
-        # fit next to 11.1 GiB of weights). This only runs because params are
-        # materialized by ONE jitted init program: eager per-leaf init
-        # interleaves f32 temporaries with the param leaves and fragments the
-        # heap so the forward's ~2 GiB contiguous temp arena can't be placed
-        # (hard-won; see CLAUDE.md). Second rung: 42L int8 W8A8 fast mode
-        # (CFG-batched — the int8 stack leaves room), attached as detail.
-        import subprocess
+        return auto_main(args)
+    return measure_rung(args)
 
-        def run_rung(extra, timeout=3600):
-            cmd = [sys.executable, __file__, "--steps", str(args.steps)] + \
-                  extra + (["--skip-vae"] if args.skip_vae else []) + \
-                  (["--fuse-qkv"] if args.fuse_qkv else [])
-            try:
-                res = subprocess.run(cmd, capture_output=True, text=True,
-                                     timeout=timeout)
-            except subprocess.TimeoutExpired:
-                return None
+
+def _emit(obj):
+    """Print one JSON line and flush — the driver parses the LAST line, so
+    every emission strictly improves on the previous one and a kill at any
+    point still leaves the best-so-far headline on record."""
+    print(json.dumps(obj), flush=True)
+
+
+def auto_main(args):
+    """Auto ladder, restructured for artifact robustness (round-2 BENCH was
+    rc=124/empty): (1) a backend watchdog emits an error JSON instead of
+    hanging if the TPU tunnel is down; (2) the FIRST rung is the serving
+    headline (int8 W8A8 + int8-QK^T attention, WITH the VAE decode) and its
+    JSON is printed+flushed the moment it lands; (3) each optional rung
+    reprints an improved headline; (4) a wall-clock --budget gates optional
+    rungs; (5) rung-by-rung wall times land in detail.rungs."""
+    import subprocess
+
+    t_start = time.time()
+    rung_log = []
+
+    def remaining():
+        return args.budget - (time.time() - t_start)
+
+    # --- backend watchdog: don't hang forever on a dead tunnel -------------
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d=jax.devices(); print('OK', d[0].platform)"],
+            capture_output=True, text=True,
+            timeout=600 if args.budget > 600 else args.budget)
+        probe_err = probe.stderr[-800:]
+        probe_ok = probe.returncode == 0 and "OK" in probe.stdout
+    except subprocess.TimeoutExpired:
+        probe_err, probe_ok = "backend init timed out", False
+    if not probe_ok:
+        _emit({"metric": "clips/min/chip (49f x 480x720, 50-step dual-stream "
+                         "inpaint)",
+               "value": 0.0, "unit": "clips/min/chip", "vs_baseline": 0.0,
+               "error": "tpu unavailable: backend init failed",
+               "detail": {"probe_stderr": probe_err}})
+        return
+
+    def run_rung(name, extra, timeout=None):
+        cmd = [sys.executable, __file__, "--steps", str(args.steps)] + \
+              extra + (["--skip-vae"] if args.skip_vae else []) + \
+              (["--fuse-qkv"] if args.fuse_qkv else [])
+        t0 = time.time()
+        out = None
+        try:
+            res = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=timeout)
             lines = [l for l in res.stdout.splitlines() if l.startswith("{")]
             if res.returncode == 0 and lines:
-                return json.loads(lines[-1])
+                out = json.loads(lines[-1])
+        except subprocess.TimeoutExpired:
+            pass
+        rung_log.append({"rung": name, "wall_s": round(time.time() - t0, 1),
+                         "ok": out is not None})
+        return out
+
+    metric = "clips/min/chip (49f x 480x720, 50-step dual-stream inpaint)"
+
+    # --- rung 1: the serving headline, self-contained (incl. VAE decode) ---
+    # int8 W8A8 projections + int8-QK^T flash is the production config,
+    # quality-gated at flagship dims (tools/gate_int8_flagship.py / GATE_int8
+    # artifact). Run it FIRST so a driver kill after one rung still records
+    # the headline. Fall back down the ladder if it fails.
+    serving_note = (
+        "int8 W8A8 block projections + int8-QK^T flash attention; "
+        "flagship-dims quality gate vs bf16 trajectory: "
+        "tools/gate_int8_flagship.py (GATE_int8.json)")
+    ladder = [
+        ("int8_serving_42L", ["--layers", "42", "--int8", "--int8-attn"]),
+        ("bf16_batched_42L", ["--layers", "42"]),
+        ("bf16_seqcfg_42L", ["--layers", "42", "--seq-cfg"]),
+        ("bf16_21L", ["--layers", "21"]),
+        ("bf16_8L", ["--layers", "8"]),
+        ("bf16_4L", ["--layers", "4"]),
+    ]
+    headline = None
+    headline_name = None
+    for name, extra in ladder:
+        headline = run_rung(name, extra, timeout=max(remaining(), 600.0))
+        if headline:
+            headline_name = name
+            break
+        if remaining() < 300:  # keep enough budget for at least one retry
+            break
+    if headline is None:
+        _emit({"metric": metric, "value": 0.0, "unit": "clips/min/chip",
+               "vs_baseline": 0.0,
+               "error": "all bench ladder rungs failed within budget",
+               "detail": {"rungs": rung_log}})
+        return
+    headline["detail"]["headline_rung"] = headline_name
+    if headline_name == "int8_serving_42L":
+        headline["detail"]["serving_config"] = serving_note
+    headline["detail"]["rungs"] = rung_log
+    _emit(headline)  # first artifact is on record NOW
+    vae_s = headline["detail"].get("vae_decode_s") or 0.0
+
+    # --- optional rungs: attach comparison modes, reprint after each -------
+    def attach(key, name, extra, note, est_s=900.0):
+        if remaining() < est_s:
+            rung_log.append({"rung": name, "ok": False,
+                             "skipped": "budget exhausted"})
+            headline["detail"]["rungs"] = rung_log
             return None
+        fast = run_rung(name, ["--layers", "42", "--skip-vae"] + extra,
+                        timeout=remaining())
+        if fast:
+            fclip = args.steps * fast["detail"]["step_ms_measured"] / 1e3 \
+                + vae_s
+            headline["detail"][key] = {
+                "step_ms_measured": fast["detail"]["step_ms_measured"],
+                "layers_measured": fast["detail"]["layers_measured"],
+                "cfg_mode": fast["detail"]["cfg_mode"],
+                "clips_per_min_per_chip": round(60.0 / fclip, 4),
+                "vs_baseline": round(60.0 / fclip / 0.125, 3),
+                "note": note,
+            }
+        headline["detail"]["rungs"] = rung_log
+        _emit(headline)
+        return headline["detail"].get(key)
 
-        headline = None
-        # batched CFG at 42L fits (params from the compact jitted init leave
-        # ~4.4 GiB for the B=2 activations) and measures 8611 ms/step vs
-        # 9211 sequential; keep seq-CFG as the fallback rung
-        for rung in (["--layers", "42"], ["--layers", "42", "--seq-cfg"],
-                     ["--layers", "21"], ["--layers", "8"], ["--layers", "4"]):
-            headline = run_rung(rung)
-            if headline:
-                break
-        if headline is None:
-            raise SystemExit("all bench ladder sizes failed")
-        vae_s = headline["detail"].get("vae_decode_s") or 0.0
-
-        def attach_fast(key, extra, note):
-            fast = run_rung(["--layers", "42", "--skip-vae"] + extra)
-            if fast:
-                fclip = args.steps * fast["detail"]["step_ms_measured"] / 1e3 \
-                    + vae_s
-                headline["detail"][key] = {
-                    "step_ms_measured": fast["detail"]["step_ms_measured"],
-                    "layers_measured": fast["detail"]["layers_measured"],
-                    "clips_per_min_per_chip": round(60.0 / fclip, 4),
-                    "vs_baseline": round(60.0 / fclip / 0.125, 3),
-                    "note": note,
-                }
-
-        attach_fast("int8_fast_mode", ["--int8"],
-                    "opt-in W8A8 block projections; PSNR-gated vs full "
-                    "precision (tests/test_quantize.py)")
-        attach_fast("int8_full_fast_mode", ["--int8", "--int8-attn"],
-                    "W8A8 projections + SageAttention-style int8-QK^T flash "
-                    "(the production serving config; quality gated in "
-                    "tests/test_quantize.py + test_flash_attention.py)")
-        attach_fast("int8_pv_fast_mode", ["--int8", "--int8-pv"],
-                    "W8A8 projections + int8-QK^T AND int8-P·V flash — the "
-                    "fastest mode; slightly lossier PV quantization "
-                    "(tests/test_flash_attention.py int8_pv rung)")
-
-        # Headline = the production serving config (int8 W8A8 + int8-QK^T
-        # attention) when its 42L rung measured. Quality-gated at FLAGSHIP
-        # dims, not just tiny tests: tools/gate_int8_flagship.py measures
-        # latent PSNR 67.9 dB / cosine 0.99999 / rel-L1 0.001 vs the bf16
-        # trajectory over 5 denoise steps of the true 42L model — visually
-        # lossless. The bf16 bit-parity path stays attached as a detail rung.
-        fast = headline["detail"].get("int8_full_fast_mode")
+    if headline_name == "int8_serving_42L":
+        # headline already is the serving config; attach bf16 parity + extras
+        attach("bf16_parity_mode", "bf16_batched_42L", [],
+               "full-precision bf16 path (golden-parity mode)")
+        attach("int8_proj_only_mode", "int8_proj_42L", ["--int8"],
+               "W8A8 projections with bf16 attention")
+    else:
+        # bf16 (or smaller) headline landed first; try to upgrade to the
+        # serving config if its 42L rung fits in the remaining budget
+        fast = attach("int8_full_fast_mode", "int8_serving_42L",
+                      ["--int8", "--int8-attn"], serving_note)
         if fast and fast.get("layers_measured") == 42:
             headline["detail"]["bf16_parity_mode"] = {
                 "value": headline["value"],
@@ -145,12 +222,16 @@ def main():
             headline["detail"]["step_ms_measured"] = fast["step_ms_measured"]
             headline["detail"]["int8"] = True
             headline["detail"]["int8_attn"] = True
-            headline["detail"]["serving_config"] = (
-                "int8 W8A8 block projections + int8-QK^T flash attention; "
-                "flagship-dims quality gate: latent PSNR 67.9 dB, cosine "
-                "0.99999 vs bf16 (tools/gate_int8_flagship.py)")
-        print(json.dumps(headline))
-        return
+            headline["detail"]["serving_config"] = serving_note
+            _emit(headline)
+
+    headline["detail"]["total_wall_s"] = round(time.time() - t_start, 1)
+    headline["detail"]["rungs"] = rung_log
+    _emit(headline)
+
+
+def measure_rung(args):
+    import jax
 
     try:  # persistent compile cache: repeat runs skip the slow remote compile
         jax.config.update("jax_compilation_cache_dir",
@@ -340,7 +421,7 @@ def main():
             "compile_s": round(compile_time, 1),
         },
     }
-    print(json.dumps(result))
+    _emit(result)
 
 
 if __name__ == "__main__":
