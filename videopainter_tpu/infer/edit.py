@@ -165,5 +165,10 @@ def edit_bench_main(argv=None, llm_fn=None, first_frame_edit_fn=None,
                           generate_instructions_fn)
 
 
+def main(argv=None):
+    """Console entry point (pyproject: vp-edit)."""
+    return edit_bench_main(argv)
+
+
 if __name__ == "__main__":
-    edit_bench_main()
+    main()

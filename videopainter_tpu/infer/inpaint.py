@@ -313,5 +313,10 @@ def get_args(argv=None):
     return p.parse_args(argv)
 
 
+def main(argv=None):
+    """Console entry point (pyproject: vp-infer)."""
+    generate_video(get_args(argv))
+
+
 if __name__ == "__main__":
-    generate_video(get_args())
+    main()
