@@ -8,6 +8,10 @@ Covers the reference classes VERDICT round-1 flagged as golden-less:
                                          reference loop is CFG-broken)
  - CogVideoXInpaintPipeline             (plain latent blend)
  - CogVideoXImageToVideoInpaintPipeline (image concat + latent blend)
+ - CogVideoXDualInpaintPipeline         (T2V dual-stream: branch on the 16ch
+                                         backbone, no image latents; round-2
+                                         VERDICT item — the last golden-less
+                                         variant)
 """
 
 import jax
@@ -15,11 +19,15 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from videopainter_tpu.config import SchedulerConfig, TransformerConfig, VAEConfig
-from videopainter_tpu.convert import (convert_transformer_state_dict,
+from videopainter_tpu.config import (BranchConfig, SchedulerConfig,
+                                     TransformerConfig, VAEConfig)
+from videopainter_tpu.convert import (convert_branch_state_dict,
+                                      convert_transformer_state_dict,
                                       convert_vae_state_dict)
-from videopainter_tpu.models import AutoencoderKLCogVideoX, CogVideoXTransformer3D
-from videopainter_tpu.pipelines import (CogVideoXImageToVideoInpaintPipeline,
+from videopainter_tpu.models import (AutoencoderKLCogVideoX, CogVideoXBranch,
+                                     CogVideoXTransformer3D)
+from videopainter_tpu.pipelines import (CogVideoXDualInpaintPipeline,
+                                        CogVideoXImageToVideoInpaintPipeline,
                                         CogVideoXInpaintPipeline,
                                         CogVideoXSelfGuidanceInpaintPipeline,
                                         CogVideoXSFTInpaintPipeline,
@@ -133,6 +141,35 @@ def test_plain_end_to_end(stack):
                vae_sample_mode="mode", init_noise=init_noise,
                dpm_noises=jnp.asarray(dpm_noises), rng=jax.random.PRNGKey(0))
     check(out, g, "plain")
+
+
+def test_t2v_dual_end_to_end(stack):
+    """T2V dual-stream (pipeline_cogvideox_inpainting_branch.py:160): branch
+    injection on the 16ch backbone, no image latents, mask_add gating +
+    replace_gt blend — the branch-on-T2V patch-embed path
+    (branch_cogvideox.py:273-277 duplicates the FULL backbone kernel into
+    both latent slots for in_channels==16)."""
+    g, vae, vae_params, sched, video, masks, embeds = stack
+    t2v = CogVideoXTransformer3D(T2V_CFG)
+    bcfg = BranchConfig.from_transformer(T2V_CFG, num_layers=2)
+    assert bcfg.patch_in_channels == 2 * 16 + 1
+    branch = CogVideoXBranch(bcfg)
+    params = {"transformer": convert_transformer_state_dict(extract_sd(g, "t2v")),
+              "branch": convert_branch_state_dict(extract_sd(g, "dual_branch")),
+              "vae": vae_params}
+    pipe = CogVideoXDualInpaintPipeline(t2v, branch, vae, sched)
+
+    init_noise = to_lat_jax(g["noise::t2v_dual::0"])
+    dpm_noises, used = effective_dpm_noises(g, "t2v_dual", 0, 4)
+    assert used == int(g["io::t2v_dual::n_noises"])
+
+    out = pipe(params, video=video, masks=masks, prompt_embeds=embeds,
+               negative_prompt_embeds=jnp.zeros_like(embeds),
+               num_inference_steps=4, guidance_scale=6.0, use_dynamic_cfg=True,
+               conditioning_scale=1.0, mask_add=True, replace_gt=True,
+               vae_sample_mode="mode", init_noise=init_noise,
+               dpm_noises=jnp.asarray(dpm_noises), rng=jax.random.PRNGKey(0))
+    check(out, g, "t2v_dual")
 
 
 def test_image2video_end_to_end(stack):

@@ -5,6 +5,10 @@ Drives the reference torch pipelines:
  - CogVideoXSelfGuidanceInpaintPipeline (pipeline_cogvideox_inpainting_selfguidance.py:153)
  - CogVideoXInpaintPipeline             (pipeline_cogvideox_inpainting.py:154)
  - CogVideoXImageToVideoInpaintPipeline (pipeline_cogvideox_image2video_inpainting.py:155)
+ - CogVideoXDualInpaintPipeline         (pipeline_cogvideox_inpainting_branch.py:160)
+   — T2V backbone (16ch, no image latents) + CogvideoXBranchModel.from_transformer
+   (branch_cogvideox.py:255: for in_channels==16 the FULL backbone kernel is
+   duplicated into both latent slots), mask_add + replace_gt blend exercised
 
 Same determinism strategy as gen_goldens_pipeline.py: VAE sample->mode and a
 recorded randn queue injected into the pipeline + DPM scheduler modules.
@@ -41,11 +45,13 @@ from diffusers.models.autoencoders.autoencoder_kl_cogvideox import (  # noqa: E4
 from diffusers.models.autoencoders import vae as vae_mod  # noqa: E402
 from diffusers.schedulers import scheduling_dpm_cogvideox as dpm_mod  # noqa: E402
 from diffusers.schedulers.scheduling_dpm_cogvideox import CogVideoXDPMScheduler  # noqa: E402
+from diffusers.models.branch_cogvideox import CogvideoXBranchModel  # noqa: E402
 from diffusers.pipelines.cogvideo import (  # noqa: E402
     pipeline_cogvideox_inpainting_sft as sft_mod,
     pipeline_cogvideox_inpainting_selfguidance as sg_mod,
     pipeline_cogvideox_inpainting as plain_mod,
-    pipeline_cogvideox_image2video_inpainting as i2v_mod)
+    pipeline_cogvideox_image2video_inpainting as i2v_mod,
+    pipeline_cogvideox_inpainting_branch as dual_mod)
 
 OUT = "tests/goldens/variants.npz"
 
@@ -199,6 +205,35 @@ def main():
         res = pipe(image=image_pil, **base_call, guidance_scale=6.0,
                    use_dynamic_cfg=True)
     record(out, "image2video", nq, res)
+
+    # ---- T2V dual (branch on the 16ch T2V backbone) -------------------------
+    # the real reference from_transformer path: full 16ch kernel duplicated
+    # into both latent slots (branch_cogvideox.py:273-277); branch_blocks are
+    # zero-init there, so randomize them (as the flagship golden does) to make
+    # the injection actually contribute to the output
+    torch.manual_seed(4)
+    branch = CogvideoXBranchModel.from_transformer(
+        t2v, num_layers=2, attention_head_dim=16, num_attention_heads=2)
+    branch.eval()
+    with torch.no_grad():
+        brng = np.random.RandomState(6)
+        for lin in branch.branch_blocks:
+            lin.weight.copy_(torch.tensor(brng.randn(32, 32),
+                                          dtype=torch.float32) * 0.05)
+            lin.bias.copy_(torch.tensor(brng.randn(32),
+                                        dtype=torch.float32) * 0.05)
+    save_sd(out, "dual_branch", branch)
+
+    nq = NoiseQueue(205)
+    dual_mod.randn_tensor = nq
+    dpm_mod.randn_tensor = nq
+    pipe = dual_mod.CogVideoXDualInpaintPipeline(
+        tokenizer=None, text_encoder=None, vae=vae, transformer=t2v,
+        scheduler=CogVideoXDPMScheduler(**SCHED_KW), branch=branch)
+    with torch.no_grad():
+        res = pipe(**base_call, guidance_scale=6.0, use_dynamic_cfg=True,
+                   conditioning_scale=1.0, mask_add=True, replace_gt=True)
+    record(out, "t2v_dual", nq, res)
 
     np.savez_compressed(OUT, **out)
     print(f"wrote {OUT}: {len(out)} arrays")
