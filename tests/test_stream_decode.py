@@ -65,6 +65,27 @@ def test_stream_matches_oneshot_tiled(vae_stack):
         vae.disable_tiling()
 
 
+def test_stream_cache_spill_bitexact(vae_stack):
+    """Single-chip mode: tile conv caches round-trip to HOST between chunks
+    (device holds one tile's cache at a time). Must stay bit-identical —
+    the spill is pure copies."""
+    vae, params = vae_stack
+    vae.enable_tiling(tile_sample_min_height=48, tile_sample_min_width=64)
+    try:
+        z = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 12, 18, 16))
+        ref = vae.decode(params["vae"], z)
+        streamer = vae.stream_decoder(params["vae"], 5, cache_spill=True)
+        outs = [streamer.feed(z[:, :2]), streamer.feed(z[:, 2:4]),
+                streamer.feed(z[:, 4:])]
+        ours = jnp.concatenate([o for o in outs if o is not None], axis=1)
+        np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+        # caches really live on host between chunks
+        assert all(isinstance(leaf, np.ndarray)
+                   for leaf in jax.tree.leaves(streamer.caches))
+    finally:
+        vae.disable_tiling()
+
+
 def test_stream_overfeed_raises(vae_stack):
     vae, params = vae_stack
     streamer = vae.stream_decoder(params["vae"], 3)

@@ -265,6 +265,14 @@ class CogVideoXTransformer3D:
                 "compressed prev_hidden_states (prev_hidden_indices) are only "
                 "valid on the ID-resample path: the base-processor prev-clip "
                 "blend reads full-sequence prev KV (ops/attention.py:164-185)")
+        if prev_hidden_states is not None and prev_clip_weight is None:
+            # fail loudly: the attention variant selection keys on BOTH
+            # (ops/attention.py has_prev) — without a weight the prev states
+            # would be silently ignored, a quiet quality bug (caught by the
+            # GATE_int8 consumption control, round 3)
+            raise ValueError(
+                "prev_hidden_states requires prev_clip_weight (the reference "
+                "anyl pipeline always passes both, ..._anyl.py:962-966)")
         b, num_frames, height, width, _ = hidden_states.shape
         if jnp.ndim(timestep) == 0:
             timestep = jnp.broadcast_to(timestep, (b,))

@@ -555,7 +555,8 @@ class AutoencoderKLCogVideoX:
         return jnp.concatenate(result_rows, axis=2)
 
     # -- streaming decode ------------------------------------------------------
-    def stream_decoder(self, params, total_t: int) -> "VAEStreamDecoder":
+    def stream_decoder(self, params, total_t: int,
+                       cache_spill: bool = False) -> "VAEStreamDecoder":
         """Incremental decoder: feed latent frames as they become final and
         receive decoded pixel frames chunk by chunk.
 
@@ -567,8 +568,12 @@ class AutoencoderKLCogVideoX:
         internal frame batches. Used by the any-length pipeline to overlap
         window-i decode with window-i+1 denoising (the PipeDiT-style
         DiT/VAE task split; see pipelines/inpaint_anyl.py).
+
+        cache_spill=True round-trips each tile's conv cache to host between
+        chunks (single-chip mode: ~0.65 GiB resident instead of 5.9 GiB at
+        flagship dims; bit-identical, see VAEStreamDecoder docstring).
         """
-        return VAEStreamDecoder(self, params, total_t)
+        return VAEStreamDecoder(self, params, total_t, cache_spill=cache_spill)
 
     def tiled_decode(self, params, z):
         """Reference tiled_decode (:1279-1358) on NDHWC."""
@@ -615,21 +620,31 @@ class VAEStreamDecoder:
     chunk is exact.
 
     MEMORY: time-streaming requires holding causal conv caches for EVERY
-    spatial tile simultaneously (~0.5 GiB/tile at flagship dims, 9 tiles),
-    unlike one-shot tiled decode which finishes a tile before the next and
-    peaks at ONE tile's caches. Use stream decode when the VAE runs on its
-    own chip (vae_device) — on a single chip next to a resident DiT the
-    cache working set does not fit; decode one-shot after the window loop
-    instead (measured: 42L int8 + stream decode OOMs a 16 GiB v5e).
+    spatial tile simultaneously (measured 0.654 GiB/tile at flagship dims,
+    9 tiles = 5.9 GiB), unlike one-shot tiled decode which finishes a tile
+    before the next and peaks at ONE tile's caches. Two deployments:
+     - vae_device (second chip): caches stay on that chip; true
+       decode/denoise overlap.
+     - cache_spill=True (single chip): each tile's cache round-trips to HOST
+       between chunks, so device HBM holds at most one tile's cache at a
+       time (~0.65 GiB) next to the resident DiT. Bit-identical (pure
+       copies). On a real TPU host the PCIe round-trip is ~50-150 ms/tile;
+       through the axon dev tunnel (~20 MB/s measured) it is minutes per
+       boundary — spill there trades wall-clock for the ability to emit
+       early frames at all on one chip.
+    Without either, decode one-shot after the window loop (measured: 42L
+    int8 + non-spill stream decode OOMs a 16 GiB v5e).
     """
 
-    def __init__(self, vae: AutoencoderKLCogVideoX, params: dict, total_t: int):
+    def __init__(self, vae: AutoencoderKLCogVideoX, params: dict, total_t: int,
+                 cache_spill: bool = False):
         if total_t < 2:
             raise ValueError("stream_decoder needs total_t >= 2 "
                              "(single-frame decode duplicates the frame)")
         self.vae = vae
         self.params = params
         self.total_t = total_t
+        self.cache_spill = cache_spill
         fbs = vae.num_latent_frames_batch_size
         num_batches = max(total_t // fbs, 1)
         rem = total_t % fbs
@@ -641,10 +656,26 @@ class VAEStreamDecoder:
         self.fed = 0
         self.caches: Dict[Any, Any] = {}
 
+    def _load_cache(self, key):
+        c = self.caches.get(key)
+        if c is not None and self.cache_spill:
+            c = jax.device_put(c)  # restore the host-spilled pytree
+        return c
+
+    def _store_cache(self, key, cache):
+        if self.cache_spill:
+            # spill to host; the device copy is freed once this (the only)
+            # reference is dropped. device_get blocks, which also bounds
+            # in-flight decoder arenas to one tile (the axon allocator does
+            # not backpressure eager allocs against async programs).
+            cache = jax.device_get(cache)
+        self.caches[key] = cache
+
     def _chunk_untiled(self, zb):
-        fn = self.vae._jitted_decoder(zb.shape, zb.dtype, "full" in self.caches)
-        y, cache = fn(self.params["decoder"], zb, self.caches.get("full"))
-        self.caches["full"] = cache
+        have = "full" in self.caches
+        fn = self.vae._jitted_decoder(zb.shape, zb.dtype, have)
+        y, cache = fn(self.params["decoder"], zb, self._load_cache("full"))
+        self._store_cache("full", cache)
         return y
 
     def _chunk_tiled(self, zb):
@@ -667,9 +698,9 @@ class VAEStreamDecoder:
                           j:j + vae.tile_latent_min_width]
                 fn = vae._jitted_decoder(tile.shape, tile.dtype,
                                          (i, j) in self.caches)
-                y, cache = fn(self.params["decoder"], tile, self.caches.get((i, j)))
-                self.caches[(i, j)] = cache
-                if sync_tiles:
+                y, cache = fn(self.params["decoder"], tile, self._load_cache((i, j)))
+                self._store_cache((i, j), cache)
+                if sync_tiles and not self.cache_spill:  # spill already blocks
                     # the axon allocator does not backpressure eager allocs
                     # (the next tile's slice) against in-flight decoder
                     # programs — with the DiT resident the heap is tight and

@@ -75,6 +75,9 @@ class CogVideoXI2VDualInpaintAnyLPipeline(CogVideoXI2VDualInpaintPipeline):
         ring_mesh=None,
         stream_decode: bool = False,
         vae_device=None,
+        stream_cache_spill: Optional[bool] = None,  # None = auto: spill tile
+        # conv caches to host when streaming WITHOUT a dedicated vae_device
+        # (single-chip mode); bit-identical either way
         compress_capture: Optional[int] = 2048,  # bucket for compressed
         # cross-window state capture (ID-resample path only; bit-exact —
         # see common.capture_token_indices). None/0 keeps full [L,2B,S,D].
@@ -156,8 +159,14 @@ class CogVideoXI2VDualInpaintAnyLPipeline(CogVideoXI2VDualInpaintPipeline):
             vae_params = params["vae"]
             if vae_device is not None:
                 vae_params = jax.device_put(vae_params, vae_device)
+            # single-chip streaming (no vae_device): spill tile conv caches
+            # to host between chunks — only ~0.65 GiB of cache resident next
+            # to the DiT instead of 5.9 GiB (which OOMs a 16 GiB v5e)
+            spill = (stream_cache_spill if stream_cache_spill is not None
+                     else vae_device is None)
             streamer = self.vae.stream_decoder({"decoder": vae_params["decoder"]},
-                                               num_frame_latents)
+                                               num_frame_latents,
+                                               cache_spill=spill)
 
         prev_state: Optional[Dict[str, Any]] = None
         latents = None
