@@ -58,6 +58,11 @@ def main():
     ap.add_argument("--int8-pv", action="store_true",
                     help="int8-QK^T AND int8 P·V flash attention (the "
                          "fastest, slightly lossier attention mode)")
+    ap.add_argument("--int8-ascale", type=float, default=0.0,
+                    help="attach a UNIFORM static activation scale to the "
+                         "int8 linears (kills the per-token quantize reduce; "
+                         "perf A/B only — real deployments calibrate per "
+                         "layer, videopainter_tpu.quantize.attach_static_ascale)")
     ap.add_argument("--no-resident", action="store_true",
                     help="disable the resident padded sequence (per-layer "
                          "attention padding instead) — perf A/B, exact "
@@ -266,13 +271,16 @@ def measure_rung(args):
     # heap stays defragmented and the 42L forward's contiguous temp arena
     # fits. Eager per-leaf init interleaves f32 temps with params and OOMs
     # the 42L forward at runtime despite a 13.2 GiB compiled peak.
+    # The sincos pos table rides in as an ARGUMENT — as a baked constant the
+    # [1,17776,3072] table overflows the axon remote-compile request (413).
     @jax.jit
-    def _build(k0, k1):
-        tp = transformer.init(k0, dtype=dtype)
+    def _build(k0, k1, pos):
+        tp = transformer.init(k0, dtype=dtype, pos_embedding=pos)
         bp = branch.init_from_transformer(k1, tp, cfg, dtype=dtype)
         return {"transformer": tp, "branch": bp}
 
-    params = _build(jax.random.PRNGKey(0), jax.random.PRNGKey(1))
+    params = _build(jax.random.PRNGKey(0), jax.random.PRNGKey(1),
+                    transformer.host_pos_embedding())
     jax.block_until_ready(params)
     if args.fuse_qkv:
         from videopainter_tpu.ops.attention import fuse_qkv_projections
@@ -285,6 +293,11 @@ def measure_rung(args):
         # chip — the int8 copy can only be built if sources are freed as it goes
         params = {k: quantize_transformer_int8(v, free_source=True)
                   for k, v in params.items()}
+        if args.int8_ascale:
+            from videopainter_tpu.quantize import attach_static_ascale
+
+            params = {k: attach_static_ascale(v, args.int8_ascale)
+                      for k, v in params.items()}
 
     B = 1
     lat_shape = (B, T_lat, H_lat, W_lat, 16)

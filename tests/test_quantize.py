@@ -216,3 +216,150 @@ def test_compact_params_bit_identical():
     for (_, a), (_, b) in zip(flat_before, flat_after):
         assert a.dtype == b.dtype and a.shape == b.shape
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_linear_int8_static_ascale():
+    """Static activation scale: same answer as dynamic when the scale equals
+    the per-token max scale; no per-token reduce in the graph."""
+    rng = np.random.RandomState(3)
+    p = {"kernel": jnp.asarray(rng.randn(64, 48).astype(np.float32)) * 0.05,
+         "bias": jnp.asarray(rng.randn(48).astype(np.float32)) * 0.01}
+    x = jnp.asarray(rng.randn(7, 64).astype(np.float32))
+    q = quantize_linear_int8(p)
+    ref = linear(p, x)
+    # an ample static scale (covers all tokens' amax) stays close to f32
+    amax = float(np.abs(np.asarray(x)).max())
+    qs = dict(q, ascale=jnp.float32(amax / 127.0))
+    got = linear(qs, x)
+    err = np.abs(np.asarray(got - ref)).mean() / np.abs(np.asarray(ref)).mean()
+    assert err < 0.03, err
+    # a too-small scale CLIPS outliers (graceful, not catastrophic)
+    qs_small = dict(q, ascale=jnp.float32(amax / 127.0 / 4.0))
+    got_small = np.asarray(linear(qs_small, x))
+    assert np.isfinite(got_small).all()
+
+
+def test_attach_static_ascale_tree():
+    from videopainter_tpu.quantize import attach_static_ascale
+
+    cfg = TransformerConfig.tiny(in_channels=16, out_channels=16,
+                                 sample_height=8, sample_width=12)
+    model = CogVideoXTransformer3D(cfg)
+    params = quantize_transformer_int8(model.init(jax.random.PRNGKey(0)))
+    L = cfg.num_layers
+    uni = attach_static_ascale(params, 0.05)
+    blk = uni["blocks"]
+    # every quantized block linear got a stacked [L] scale
+    found = []
+
+    def walk(t, path=""):
+        for k, v in t.items():
+            if isinstance(v, dict):
+                if "kernel_q" in v:
+                    assert "ascale" in v, path + k
+                    assert v["ascale"].shape == (L,)
+                    found.append(k)
+                else:
+                    walk(v, path + k + ".")
+    walk(blk)
+    assert found, "no quantized linears found"
+    # per-site dict: only named sites get scales
+    per_site = attach_static_ascale(params, {"to_q": np.full((L,), 0.1)})
+
+    def walk2(t):
+        for k, v in t.items():
+            if isinstance(v, dict):
+                if "kernel_q" in v:
+                    assert ("ascale" in v) == (k == "to_q"), k
+                else:
+                    walk2(v)
+    walk2(per_site["blocks"])
+    # model forward runs with static scales and stays close to dynamic int8
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 2, 8, 12, 16),
+                    jnp.float32)
+    e = jnp.zeros((1, 5, cfg.text_embed_dim), jnp.float32)
+    t = jnp.array([5])
+    dyn = model.apply(params, x, e, t).sample
+    # calibrate the uniform scale from the dynamic run's input magnitude
+    sta = model.apply(attach_static_ascale(params, 0.2), x, e, t).sample
+    rel = float(jnp.abs(sta - dyn).mean() / (jnp.abs(dyn).mean() + 1e-9))
+    assert np.isfinite(np.asarray(sta)).all()
+    assert rel < 0.5, rel  # ballpark sanity; real scales come from calibration
+
+
+def test_calibrate_ascales_end_to_end():
+    """Offline calibration: tap records per-layer per-site amax through the
+    int8 serving numerics; attached static scales reproduce the dynamic int8
+    forward closely on the calibration distribution."""
+    from videopainter_tpu.quantize import (attach_static_ascale,
+                                           calibrate_ascales)
+
+    cfg = TransformerConfig.tiny(in_channels=16, out_channels=16,
+                                 sample_height=8, sample_width=12)
+    model = CogVideoXTransformer3D(cfg)
+    params = quantize_transformer_int8(model.init(jax.random.PRNGKey(0)))
+    L = cfg.num_layers
+
+    rng = np.random.RandomState(7)
+    def mk(t):
+        x = jnp.asarray(rng.randn(1, 2, 8, 12, 16), jnp.float32)
+        e = jnp.asarray(rng.randn(1, 5, cfg.text_embed_dim), jnp.float32)
+        return (x, e, jnp.array([t])), {}
+
+    samples = [mk(999), mk(500), mk(20)]
+    scales = calibrate_ascales(model, params, samples)
+    assert set(scales) == {"to_q", "to_k", "to_v", "to_out",
+                           "proj_in", "proj_out"}
+    for v in scales.values():
+        assert v.shape == (L,) and (v > 0).all()
+    # q/k/v read the same normed input -> identical calibrated scales
+    np.testing.assert_allclose(scales["to_q"], scales["to_k"])
+    np.testing.assert_allclose(scales["to_q"], scales["to_v"])
+
+    # static forward tracks dynamic int8 on a calibration-like input
+    (x, e, t), _ = mk(500)
+    dyn = model.apply(params, x, e, t).sample
+    sta = model.apply(attach_static_ascale(params, scales), x, e, t).sample
+    rel = float(jnp.abs(sta - dyn).mean() / (jnp.abs(dyn).mean() + 1e-9))
+    assert rel < 0.15, rel
+    # margin>1 only loosens scales; still finite/close
+    sta2 = model.apply(
+        attach_static_ascale(params, calibrate_ascales(model, params, samples,
+                                                       margin=1.25)),
+        x, e, t).sample
+    assert np.isfinite(np.asarray(sta2)).all()
+
+
+def test_calibrate_ascales_branch_and_guards():
+    from videopainter_tpu.config import BranchConfig
+    from videopainter_tpu.models import CogVideoXBranch
+    from videopainter_tpu.quantize import attach_static_ascale, calibrate_ascales
+
+    cfg = TransformerConfig.tiny(in_channels=32, out_channels=16,
+                                 sample_height=8, sample_width=12)
+    transformer = CogVideoXTransformer3D(cfg)
+    tp = transformer.init(jax.random.PRNGKey(0))
+    branch = CogVideoXBranch(BranchConfig.from_transformer(cfg, num_layers=2))
+    bp = quantize_transformer_int8(
+        branch.init_from_transformer(jax.random.PRNGKey(1), tp, cfg))
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 2, 8, 12, 16), jnp.float32)     # noisy latent
+    cond = jnp.asarray(rng.randn(1, 2, 8, 12, 17), jnp.float32)  # masked ‖ mask
+    e = jnp.asarray(rng.randn(1, 5, cfg.text_embed_dim), jnp.float32)
+    t = jnp.array([400])
+    scales = calibrate_ascales(branch, bp, [((x, e, cond, t), {})])
+    assert scales["to_q"].shape == (2,)
+    out = branch.apply(attach_static_ascale(bp, scales), x, e, cond, t)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # guards: calibrate on unquantized params fails loudly
+    import pytest
+    x32 = jnp.concatenate([x, x], axis=-1)  # transformer takes 32 channels
+    with pytest.raises(ValueError):
+        transformer.apply(tp, x32, e, t, calibrate=True)
+    # variant paths are rejected under calibrate
+    qtp = quantize_transformer_int8(tp)
+    with pytest.raises(ValueError):
+        transformer.apply(qtp, x32, e, t, calibrate=True,
+                          return_hidden_states=True)

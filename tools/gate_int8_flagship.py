@@ -51,6 +51,13 @@ def main():
     ap.add_argument("--deep", action="store_true",
                     help="full 50-step trajectory + decoded-pixel PSNR/SSIM + "
                          "capture-int8 legs; writes --out")
+    ap.add_argument("--ascale", action="store_true",
+                    help="also gate STATIC calibrated activation scales "
+                         "(quantize.calibrate_ascales): calibrate during the "
+                         "dynamic int8 trajectory, rerun it static, report "
+                         "latent PSNR vs bf16 and vs dynamic int8")
+    ap.add_argument("--ascale-margin", type=float, default=1.0,
+                    help="headroom multiplier on calibrated scales")
     ap.add_argument("--out", default="GATE_int8.json")
     ap.add_argument("--smoke", action="store_true",
                     help="plumbing dry-run: tiny spatial dims, 2 layers, "
@@ -87,12 +94,14 @@ def main():
     dtype = jnp.bfloat16
 
     @jax.jit
-    def _build(k0, k1):  # one program: compact buffer assignment (CLAUDE.md)
-        tp = transformer.init(k0, dtype=dtype)
+    def _build(k0, k1, pos):  # one program: compact buffer assignment; pos
+        # table as ARG, not constant (axon remote-compile 413 — CLAUDE.md)
+        tp = transformer.init(k0, dtype=dtype, pos_embedding=pos)
         bp = branch.init_from_transformer(k1, tp, cfg, dtype=dtype)
         return {"transformer": tp, "branch": bp}
 
-    params = _build(jax.random.PRNGKey(0), jax.random.PRNGKey(1))
+    params = _build(jax.random.PRNGKey(0), jax.random.PRNGKey(1),
+                    transformer.host_pos_embedding())
     jax.block_until_ready(params)
 
     lat_shape = (B, T_lat, H_lat, W_lat, 16)
@@ -148,6 +157,40 @@ def main():
             float(jnp.sum(lat.astype(jnp.float32)))  # sync (axon)
         return np.asarray(lat.astype(jnp.float32))
 
+    def run_traj_calibrated(params, use_flash):
+        # dynamic-int8 trajectory that ALSO records per-layer per-site
+        # activation amax — numerically identical to run_traj (the tap only
+        # adds two [L, n_sites] outputs; the dynamic quantize is unchanged)
+        def cal_forward(params, latents, embeds_b, ts):
+            model_in = jnp.concatenate([latents, image_latents], axis=-1)
+            cond = jnp.concatenate([masked, mask[..., None]], axis=-1)
+            samples, am_b = branch.apply(params["branch"], latents, embeds_b,
+                                         cond, ts, rope=rope,
+                                         use_flash=use_flash, calibrate=True)
+            out = transformer.apply(params["transformer"], model_in, embeds_b,
+                                    ts, rope=rope, branch_block_samples=samples,
+                                    branch_block_masks=mask,
+                                    use_flash=use_flash, calibrate=True)
+            return out.sample, am_b, out.calib_amax
+
+        fwd = jax.jit(cal_forward)
+        comb = jax.jit(combine)
+        lat = latents0
+        am_b_acc = am_t_acc = None
+        for i in range(args.steps):
+            ts = jnp.broadcast_to(jnp.asarray(500 - i), (B,))
+            u, ab1, at1 = fwd(params, lat, embeds[:B], ts)
+            c, ab2, at2 = fwd(params, lat, embeds[B:], ts)
+            lat = comb(lat, u, c)
+            float(jnp.sum(lat.astype(jnp.float32)))  # sync (axon)
+            ab = np.maximum(np.asarray(ab1, np.float32),
+                            np.asarray(ab2, np.float32))
+            at = np.maximum(np.asarray(at1, np.float32),
+                            np.asarray(at2, np.float32))
+            am_b_acc = ab if am_b_acc is None else np.maximum(am_b_acc, ab)
+            am_t_acc = at if am_t_acc is None else np.maximum(am_t_acc, at)
+        return np.asarray(lat.astype(jnp.float32)), am_b_acc, am_t_acc
+
     use_flash_ref = False if args.smoke else True
     t0 = time.time()
     ref = run_traj(params, use_flash=use_flash_ref)
@@ -160,8 +203,12 @@ def main():
     gc.collect()
     int8_flash = (False if args.smoke else
                   ("int8pv" if args.pv else "int8"))
+    am_b = am_t = None
     t0 = time.time()
-    got = run_traj(params, use_flash=int8_flash)
+    if args.ascale:
+        got, am_b, am_t = run_traj_calibrated(params, use_flash=int8_flash)
+    else:
+        got = run_traj(params, use_flash=int8_flash)
     t_int8 = time.time() - t0
 
     rng_val = float(ref.max() - ref.min())
@@ -181,6 +228,45 @@ def main():
                                          (np.abs(ref).mean() + 1e-12)), 5)},
         "traj_wall_s": {"bf16": round(t_bf16, 1), "int8": round(t_int8, 1)},
     }
+
+    if args.ascale:
+        # ---- static calibrated activation scales: rerun the trajectory with
+        # the per-token quantize reduce replaced by the calibrated constants
+        from videopainter_tpu.quantize import (ascale_site_order,
+                                               attach_static_ascale)
+
+        def to_scales(tree, acc):
+            sites = ascale_site_order(tree["blocks"])
+            assert acc.shape[1] == len(sites), (acc.shape, sites)
+            return {n: acc[:, i] * (args.ascale_margin / 127.0)
+                    for i, n in enumerate(sites)}
+
+        sparams = {
+            "transformer": attach_static_ascale(
+                params["transformer"], to_scales(params["transformer"], am_t)),
+            "branch": attach_static_ascale(
+                params["branch"], to_scales(params["branch"], am_b)),
+        }
+        t0s = time.time()
+        got_sta = run_traj(sparams, use_flash=int8_flash)
+        t_sta = time.time() - t0s
+        del sparams
+        gc.collect()
+
+        def _psnr(a, b):
+            rng_v = float(b.max() - b.min())
+            m = float(np.mean((a - b) ** 2))
+            return 10 * np.log10(rng_v ** 2 / m) if m else float("inf")
+
+        result["static_ascale"] = {
+            "margin": args.ascale_margin,
+            "latent_psnr_vs_bf16_db": round(_psnr(got_sta, ref), 2),
+            "latent_psnr_vs_dynamic_int8_db": round(_psnr(got_sta, got), 2),
+            "traj_wall_s": round(t_sta, 1),
+            "note": "scales calibrated over the full dynamic-int8 trajectory "
+                    "(both CFG branches, every step) via the in-scan tap; "
+                    "outliers clip at ±127 instead of per-token rescaling",
+        }
 
     if not args.deep:
         print(json.dumps(result))

@@ -78,19 +78,20 @@ def measure(args) -> None:
     sched = CogVideoXDDIMScheduler(SchedulerConfig(prediction_type="v_prediction"))
     dtype = jnp.bfloat16
 
-    # jitted init programs (heap stays unfragmented — bench.py lesson):
-    # frozen backbone + branch in one program, VAE in its own — the combined
-    # 3-model init HLO exceeds the axon remote-compile request limit
-    # (HTTP 413). Frozen stacks bf16; the TRAINABLE branch in fp32 (master
-    # weights, as DeepSpeed bf16 keeps fp32 master params)
+    # jitted init programs (heap stays unfragmented — bench.py lesson); the
+    # sincos pos table rides in as an ARGUMENT (baked-in it overflows the
+    # axon remote-compile request, HTTP 413). VAE in its own program.
+    # Frozen stacks bf16; the TRAINABLE branch in fp32 (master weights, as
+    # DeepSpeed bf16 keeps fp32 master params)
     @jax.jit
-    def _build(k0, k1):
-        tp = transformer.init(k0, dtype=dtype)
+    def _build(k0, k1, pos):
+        tp = transformer.init(k0, dtype=dtype, pos_embedding=pos)
         bp = branch.init_from_transformer(k1, tp, cfg, dtype=jnp.float32)
         return {"transformer": tp, "branch": bp}
 
     t0 = time.time()
-    params = _build(jax.random.PRNGKey(0), jax.random.PRNGKey(1))
+    params = _build(jax.random.PRNGKey(0), jax.random.PRNGKey(1),
+                    transformer.host_pos_embedding())
     jax.block_until_ready(params)
     params["vae"] = jax.jit(lambda k: vae.init(k, dtype=dtype))(
         jax.random.PRNGKey(2))

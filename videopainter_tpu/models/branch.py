@@ -33,7 +33,7 @@ class CogVideoXBranch:
     def __init__(self, cfg: BranchConfig):
         self.cfg = cfg
 
-    def init(self, key, dtype=jnp.float32) -> dict:
+    def init(self, key, dtype=jnp.float32, pos_embedding=None) -> dict:
         cfg = self.cfg
         ks = jax.random.split(key, 6 + cfg.num_layers)
         params: Dict[str, Any] = {
@@ -63,17 +63,28 @@ class CogVideoXBranch:
         blocks = [init_dit_block(ks[6 + i], cfg, dtype=dtype) for i in range(cfg.num_layers)]
         params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
         if not cfg.use_rotary_positional_embeddings or cfg.use_learned_positional_embeddings:
-            from .dit import CogVideoXTransformer3D
+            if pos_embedding is None:
+                # eager path only; under jit pass the table as an argument
+                # (see CogVideoXTransformer3D.host_pos_embedding)
+                from .dit import CogVideoXTransformer3D
+                pos_embedding = CogVideoXTransformer3D(cfg)._positional_embeddings(
+                    cfg.sample_height, cfg.sample_width, cfg.sample_frames)
             params["patch_embed"]["pos_embedding"] = jnp.asarray(
-                CogVideoXTransformer3D(cfg)._positional_embeddings(
-                    cfg.sample_height, cfg.sample_width, cfg.sample_frames), dtype=dtype)
+                pos_embedding, dtype=dtype)
         return params
 
     def init_from_transformer(self, key, transformer_params: dict,
-                              transformer_cfg: TransformerConfig, dtype=jnp.float32) -> dict:
+                              transformer_cfg: TransformerConfig, dtype=jnp.float32,
+                              pos_embedding=None) -> dict:
         """Clone backbone weights into the branch (branch_cogvideox.py:255-293)."""
         cfg = self.cfg
-        params = self.init(key, dtype=dtype)
+        if pos_embedding is None:
+            # the backbone's table is identical (same dims/config) — share it
+            # so a jitted combined init embeds no host constant
+            bb_pos = transformer_params.get("patch_embed", {}).get("pos_embedding")
+            if bb_pos is not None:
+                pos_embedding = bb_pos
+        params = self.init(key, dtype=dtype, pos_embedding=pos_embedding)
         p = cfg.patch_size
         c_in = cfg.in_channels
         # backbone proj kernel: [(p*p*C_bb), D]; branch: [(p*p*C_branch), D]
@@ -118,6 +129,9 @@ class CogVideoXBranch:
         resident: Optional[bool] = None,  # None = auto: non-resident under
                                 # the int8 attention modes (measured faster;
                                 # models/dit.py). Numerics exact either way.
+        calibrate: bool = False,  # also return [L, n_sites] activation amax
+                                # from the dynamic int8 linears (see
+                                # quantize.calibrate_ascales)
     ) -> jnp.ndarray:
         """Returns stacked branch features [num_layers, B, S_vid, D].
 
@@ -175,6 +189,11 @@ class CogVideoXBranch:
         num_heads = cfg.num_attention_heads
         wo_text = cfg.wo_text
 
+        if calibrate and remat:
+            raise ValueError("calibrate=True requires remat=False "
+                             "(remat re-traces the block and double-fires "
+                             "the calibration tap)")
+
         def scan_body(carry, bp):
             h, enc_h = carry
 
@@ -195,11 +214,28 @@ class CogVideoXBranch:
 
             if remat:
                 fn = jax.checkpoint(fn)
+            if calibrate:
+                from ..ops.basic import _set_calib_tap
+                taps: list = []
+                prev_tap = _set_calib_tap(taps)
+                try:
+                    h, enc_h = fn(bp, h, enc_h)
+                finally:
+                    _set_calib_tap(prev_tap)
+                if not taps:
+                    raise ValueError(
+                        "calibrate=True but no dynamic int8 linear ran — "
+                        "quantize the branch params first")
+                h = _sp(h)
+                return (h, enc_h), (h, jnp.stack(taps))
             h, enc_h = fn(bp, h, enc_h)
             h = _sp(h)
             return (h, enc_h), h
 
         (_, _), block_samples = jax.lax.scan(scan_body, (h, enc_h), params["blocks"])
+        calib_amax = None
+        if calibrate:
+            block_samples, calib_amax = block_samples
         if seq_pad:
             block_samples = block_samples[:, :, :s_vid]
 
@@ -209,4 +245,7 @@ class CogVideoXBranch:
                                bb["kernel"].astype(block_samples.dtype),
                                preferred_element_type=jnp.float32).astype(block_samples.dtype)
         projected = projected + bb["bias"][:, None, None, :].astype(projected.dtype)
-        return projected * jnp.asarray(conditioning_scale, dtype=projected.dtype)
+        out = projected * jnp.asarray(conditioning_scale, dtype=projected.dtype)
+        if calibrate:
+            return out, calib_amax
+        return out

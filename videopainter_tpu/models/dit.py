@@ -162,6 +162,7 @@ class TransformerOutput(NamedTuple):
     sample: jnp.ndarray                               # [B, T, H, W, out_C]
     hidden_states_list: Optional[jnp.ndarray] = None  # [L, B, S_joint, D]
     resample_mask: Optional[jnp.ndarray] = None       # bool [B, S_joint]
+    calib_amax: Optional[jnp.ndarray] = None          # [L, n_sites] (calibrate=True)
 
 
 class CogVideoXTransformer3D:
@@ -177,7 +178,19 @@ class CogVideoXTransformer3D:
         self.patch_in_channels = patch_in_channels or cfg.in_channels
 
     # -- init ---------------------------------------------------------------
-    def init(self, key, dtype=jnp.float32) -> dict:
+    def host_pos_embedding(self) -> Optional[np.ndarray]:
+        """The joint sincos table as HOST numpy, or None if the config needs
+        none. Pass this as a jit ARGUMENT when calling init under jax.jit:
+        inlined as a closure/constant, the [1, 17776, 3072] table makes the
+        init HLO exceed the axon remote-compile request limit (HTTP 413)."""
+        cfg = self.cfg
+        if cfg.use_rotary_positional_embeddings and \
+                not cfg.use_learned_positional_embeddings:
+            return None
+        return self._positional_embeddings(cfg.sample_height, cfg.sample_width,
+                                           cfg.sample_frames)
+
+    def init(self, key, dtype=jnp.float32, pos_embedding=None) -> dict:
         cfg = self.cfg
         ks = jax.random.split(key, 6 + cfg.num_layers)
         params: Dict[str, Any] = {
@@ -194,9 +207,14 @@ class CogVideoXTransformer3D:
         blocks = [init_dit_block(ks[6 + i], cfg, dtype=dtype) for i in range(cfg.num_layers)]
         params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
         if not cfg.use_rotary_positional_embeddings or cfg.use_learned_positional_embeddings:
+            if pos_embedding is None:
+                # eager path: compute host-side (float64 sincos). Under jit,
+                # pass host_pos_embedding() as an argument instead — baked in
+                # as a constant it blows the remote-compile request size.
+                pos_embedding = self._positional_embeddings(
+                    cfg.sample_height, cfg.sample_width, cfg.sample_frames)
             params["patch_embed"]["pos_embedding"] = jnp.asarray(
-                self._positional_embeddings(cfg.sample_height, cfg.sample_width, cfg.sample_frames),
-                dtype=dtype)
+                pos_embedding, dtype=dtype)
         return params
 
     def _positional_embeddings(self, sample_height, sample_width, sample_frames) -> np.ndarray:
@@ -247,6 +265,9 @@ class CogVideoXTransformer3D:
         ring_mesh=None,
         resident: Optional[bool] = None,  # resident padded sequence; None =
                                 # auto (see below). Numerics exact either way.
+        calibrate: bool = False,  # collect per-layer per-site activation amax
+                                # from the DYNAMIC int8 linears (see
+                                # quantize.calibrate_ascales); plain path only
     ) -> TransformerOutput:
         """seq_axis: mesh axis name for GSPMD sequence parallelism - video
         tokens are sharding-constrained to P(None, seq_axis, None) at the
@@ -265,6 +286,16 @@ class CogVideoXTransformer3D:
                 "compressed prev_hidden_states (prev_hidden_indices) are only "
                 "valid on the ID-resample path: the base-processor prev-clip "
                 "blend reads full-sequence prev KV (ops/attention.py:164-185)")
+        if calibrate and (return_hidden_states or remat
+                          or prev_hidden_states is not None
+                          or id_pool_resample
+                          or self_guidance_hidden_states is not None):
+            # calibration reads the tap in plain-path call order; the variant
+            # paths add extra to_k/to_v calls (ops/attention.py:147-204) and
+            # remat re-traces the block, both of which would scramble the
+            # site mapping. Calibrate on the plain serving forward.
+            raise ValueError("calibrate=True requires the plain forward path "
+                             "(no captures, variants, or remat)")
         if prev_hidden_states is not None and prev_clip_weight is None:
             # fail loudly: the attention variant selection keys on BOTH
             # (ops/attention.py has_prev) — without a weight the prev states
@@ -454,6 +485,20 @@ class CogVideoXTransformer3D:
             fn = run_block
             if remat:
                 fn = jax.checkpoint(run_block)
+            if calibrate:
+                from ..ops.basic import _set_calib_tap
+                taps: list = []
+                prev_tap = _set_calib_tap(taps)
+                try:
+                    h, enc_h = fn(bp, h, enc_h, layer_idx)
+                finally:
+                    _set_calib_tap(prev_tap)
+                if not taps:
+                    raise ValueError(
+                        "calibrate=True but no dynamic int8 linear ran — "
+                        "quantize the params first (quantize_transformer_int8) "
+                        "and don't pre-attach static scales")
+                return (h, enc_h), jnp.stack(taps)
             h, enc_h = fn(bp, h, enc_h, layer_idx)
             ys = None
             if return_hidden_states:
@@ -498,4 +543,5 @@ class CogVideoXTransformer3D:
         out = unpatchify(h, num_frames, height, width, cfg.patch_size)
         return TransformerOutput(sample=out,
                                  hidden_states_list=hs_list if return_hidden_states else None,
-                                 resample_mask=resample_mask)
+                                 resample_mask=resample_mask,
+                                 calib_amax=hs_list if calibrate else None)

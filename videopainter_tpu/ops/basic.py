@@ -31,6 +31,25 @@ DEFAULT_POLICY = Policy()
 BF16_POLICY = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
 
 
+# -- activation-scale calibration tap -----------------------------------------
+# When a collector list is installed, every DYNAMIC int8 linear appends its
+# global activation amax (a traced scalar) in call order. The installer
+# (models/dit.py scan_body under calibrate=True) drains the list into the
+# layer scan's ys, so per-layer per-site amax escapes the scan as [L, n_sites].
+# Trace-time only: taps fire while the scan body is being traced, never at
+# runtime, so this costs nothing when calibration is off.
+_CALIB_TAP = None
+
+
+def _set_calib_tap(collector):
+    """Install (a list) or remove (None) the calibration collector.
+    Returns the previous collector so callers can restore it."""
+    global _CALIB_TAP
+    prev = _CALIB_TAP
+    _CALIB_TAP = collector
+    return prev
+
+
 def linear(p: dict, x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
     """y = x @ kernel + bias. kernel: [in, out].
 
@@ -48,11 +67,30 @@ def linear(p: dict, x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
 
 
 def _linear_int8(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    """W8A8 with per-out-channel weight scales and dynamic per-token
-    activation scales; int32 accumulation on the MXU."""
+    """W8A8 with per-out-channel weight scales and per-token activation
+    scales; int32 accumulation on the MXU.
+
+    Activation scales: dynamic per-token max|x|/127 by default. If the params
+    carry an `ascale` leaf (static calibrated per-layer scale, see
+    quantize.attach_static_ascale), the per-token reduce is skipped — the
+    quantize becomes a fused multiply/round/clip with clipping instead of
+    rescaling for outliers (SmoothQuant-style static W8A8)."""
     orig = x.dtype
     x32 = x.astype(jnp.float32)
+    if "ascale" in p:
+        xs = p["ascale"].astype(jnp.float32)  # scalar (per layer under scan)
+        xq = jnp.clip(jnp.round(x32 / xs), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, p["kernel_q"],
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * xs * p["kscale"].astype(jnp.float32)
+        if "bias" in p and p["bias"] is not None:
+            y = y + p["bias"].astype(jnp.float32)
+        return y.astype(orig)
     amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    if _CALIB_TAP is not None:
+        _CALIB_TAP.append(jnp.max(amax))  # global amax, in call order
     xs = jnp.where(amax > 0, amax / 127.0, 1.0)
     xq = jnp.clip(jnp.round(x32 / xs), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
