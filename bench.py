@@ -209,6 +209,14 @@ def auto_main(args):
                "full-precision bf16 path (golden-parity mode)")
         attach("int8_proj_only_mode", "int8_proj_42L", ["--int8"],
                "W8A8 projections with bf16 attention")
+        # static activation scales: perf A/B for the calibrated mode — the
+        # graph is identical for uniform vs calibrated [L] scales, so a
+        # uniform value measures the speedup; quality is gated separately
+        # (tools/gate_int8_flagship.py --ascale)
+        attach("int8_static_ascale_mode", "int8_ascale_42L",
+               ["--int8", "--int8-attn", "--int8-ascale", "0.02"],
+               "serving config with STATIC activation scales (per-token "
+               "quantize reduce removed; quantize.attach_static_ascale)")
     else:
         # bf16 (or smaller) headline landed first; try to upgrade to the
         # serving config if its 42L rung fits in the remaining budget

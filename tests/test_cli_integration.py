@@ -114,3 +114,56 @@ def test_cli_generate_video_int8_sequential(tmp_path):
     out01 = generate_video(args)
     assert out01.shape == (9, 64, 96, 3)
     assert np.isfinite(out01).all()
+
+
+def test_cli_int8_static_scales(tmp_path):
+    """--int8_scales: a save_ascales npz attaches through the CLI (static
+    W8A8 — the per-token quantize reduce replaced by calibrated constants)."""
+    from videopainter_tpu.infer.inpaint import generate_video, get_args
+    from videopainter_tpu.quantize import save_ascales
+
+    root = str(tmp_path)
+    make_ckpts(root)
+    make_data(root)
+    embeds = np.random.RandomState(3).rand(1, 5, 12).astype(np.float32)
+    np.save(os.path.join(root, "embeds.npy"), embeds)
+    sites = ("to_q", "to_k", "to_v", "to_out", "proj_in", "proj_out")
+    scales_path = os.path.join(root, "scales.npz")
+    save_ascales(scales_path,
+                 {m: {s: np.full(2, 0.2, np.float32) for s in sites}
+                  for m in ("transformer", "branch")})
+
+    args = get_args([
+        "--model_path", os.path.join(root, "model"),
+        "--inpainting_branch", os.path.join(root, "branch"),
+        "--meta_file_path", os.path.join(root, "meta.csv"),
+        "--video_id", "0",
+        "--output_path", os.path.join(root, "out"),
+        "--prompt_embeds", os.path.join(root, "embeds.npy"),
+        "--height", "64", "--width", "96",
+        "--num_frames", "9", "--num_inference_steps", "2",
+        "--replace_gt", "--mask_add", "--first_frame_gt",
+        "--dtype", "float32", "--int8", "--sequential_cfg",
+        "--int8_scales", scales_path,
+    ])
+    out01 = generate_video(args)
+    assert out01.shape == (9, 64, 96, 3)
+    assert np.isfinite(out01).all()
+
+
+def test_ascales_npz_roundtrip(tmp_path):
+    from videopainter_tpu.quantize import load_ascales, save_ascales
+
+    scales = {"transformer": {"to_q": np.arange(4, dtype=np.float32) + 1,
+                              "proj_in": np.full(4, 0.5, np.float32)},
+              "branch": {"to_out": np.full(2, 0.25, np.float32)}}
+    p = os.path.join(str(tmp_path), "s.npz")
+    save_ascales(p, scales)
+    back = load_ascales(p)
+    assert set(back) == {"transformer", "branch"}
+    np.testing.assert_allclose(back["transformer"]["to_q"],
+                               scales["transformer"]["to_q"])
+    np.testing.assert_allclose(back["branch"]["to_out"],
+                               scales["branch"]["to_out"])
+    with pytest.raises(ValueError):
+        save_ascales(p, {})

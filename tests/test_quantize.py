@@ -363,3 +363,79 @@ def test_calibrate_ascales_branch_and_guards():
     with pytest.raises(ValueError):
         transformer.apply(qtp, x32, e, t, calibrate=True,
                           return_hidden_states=True)
+
+
+def test_int8_linear_ste_gradients():
+    """The int8 linear is differentiable via a straight-through estimator:
+    grads wrt the input match grads through the dequantized-weight linear
+    (the QLoRA-style frozen-backbone recipe). Plain autodiff through round()
+    would give ~zero gradients."""
+    rng = np.random.RandomState(0)
+    p = {"kernel": jnp.asarray(rng.randn(32, 24).astype(np.float32)) * 0.05,
+         "bias": jnp.asarray(rng.randn(24).astype(np.float32)) * 0.01}
+    q = quantize_linear_int8(p)
+    w_deq = np.asarray(q["kernel_q"], np.float32) * np.asarray(q["kscale"])
+    x = jnp.asarray(rng.randn(5, 32).astype(np.float32))
+    co = jnp.asarray(rng.randn(5, 24).astype(np.float32))
+
+    dx = jax.grad(lambda x: jnp.sum(linear(q, x) * co))(x)
+    dx_ref = co @ w_deq.T  # exact STE target
+    np.testing.assert_allclose(np.asarray(dx), dx_ref, rtol=2e-2, atol=1e-3)
+    assert float(jnp.abs(dx).max()) > 0.01  # NOT the silent-zero-grad failure
+
+    # static-ascale path is differentiable the same way
+    qs = dict(q, ascale=jnp.float32(0.05))
+    dxs = jax.grad(lambda x: jnp.sum(linear(qs, x) * co))(x)
+    np.testing.assert_allclose(np.asarray(dxs), dx_ref, rtol=2e-2, atol=1e-3)
+
+
+def test_int8_frozen_backbone_train_step():
+    """QLoRA-style training: branch-SFT step with the FROZEN transformer in
+    int8 — gradients flow through the quantized backbone into the branch
+    (this is what lets the 42L backbone fit one chip during training)."""
+    from videopainter_tpu.config import (BranchConfig, SchedulerConfig,
+                                         VAEConfig)
+    from videopainter_tpu.models import (AutoencoderKLCogVideoX,
+                                         CogVideoXBranch)
+    from videopainter_tpu.schedulers import CogVideoXDDIMScheduler
+    from videopainter_tpu.training import (BranchTrainConfig,
+                                           init_branch_train_state,
+                                           make_branch_train_step,
+                                           make_optimizer)
+
+    cfg = TransformerConfig.tiny(in_channels=32, out_channels=16,
+                                 sample_height=8, sample_width=12)
+    transformer = CogVideoXTransformer3D(cfg)
+    branch = CogVideoXBranch(BranchConfig.from_transformer(cfg, num_layers=2))
+    vae = AutoencoderKLCogVideoX(VAEConfig.tiny(latent_channels=16))
+    sched = CogVideoXDDIMScheduler(SchedulerConfig(prediction_type="v_prediction"))
+    tp = transformer.init(jax.random.PRNGKey(0))
+    bp = branch.init_from_transformer(jax.random.PRNGKey(1), tp, cfg)
+    vp = vae.init(jax.random.PRNGKey(2))
+
+    tcfg = BranchTrainConfig(height=32, width=48, mask_add=True, remat=True)
+    opt = make_optimizer(lr=1e-4)
+    step = make_branch_train_step(transformer, branch, vae, sched, opt, tcfg)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "pixel_values": jnp.asarray(rng.rand(1, 5, 32, 48, 3), jnp.float32) * 2 - 1,
+        "conditioning_pixel_values": jnp.asarray(
+            rng.rand(1, 5, 32, 48, 3), jnp.float32) * 2 - 1,
+        "masks": jnp.asarray((rng.rand(1, 5, 32, 48) > 0.75), jnp.float32),
+        "prompt_embeds": jnp.asarray(rng.rand(1, 5, 12), jnp.float32),
+    }
+
+    frozen_q = {"transformer": quantize_transformer_int8(tp), "vae": vp}
+    state = init_branch_train_state(bp, opt)
+    state, metrics = step(state, frozen_q, batch, jax.random.PRNGKey(3))
+    gnorm = float(metrics["gradient_norm_before_clip"])
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert gnorm > 1e-4, f"int8 backbone blocked gradients (norm={gnorm})"
+
+    # grads through the int8 backbone track the full-precision grads
+    frozen = {"transformer": tp, "vae": vp}
+    state2 = init_branch_train_state(bp, opt)
+    state2, metrics2 = step(state2, frozen, batch, jax.random.PRNGKey(3))
+    g1, g2 = gnorm, float(metrics2["gradient_norm_before_clip"])
+    assert abs(g1 - g2) / max(g2, 1e-9) < 0.25, (g1, g2)

@@ -58,6 +58,9 @@ def main():
                          "latent PSNR vs bf16 and vs dynamic int8")
     ap.add_argument("--ascale-margin", type=float, default=1.0,
                     help="headroom multiplier on calibrated scales")
+    ap.add_argument("--save-scales", default=None,
+                    help="with --ascale: write the calibrated scales to this "
+                         ".npz (consumed by infer --int8_scales)")
     ap.add_argument("--out", default="GATE_int8.json")
     ap.add_argument("--smoke", action="store_true",
                     help="plumbing dry-run: tiny spatial dims, 2 layers, "
@@ -241,11 +244,18 @@ def main():
             return {n: acc[:, i] * (args.ascale_margin / 127.0)
                     for i, n in enumerate(sites)}
 
+        scales = {"transformer": to_scales(params["transformer"], am_t),
+                  "branch": to_scales(params["branch"], am_b)}
+        if args.save_scales:
+            from videopainter_tpu.quantize import save_ascales
+
+            save_ascales(args.save_scales, scales)
+            print(f"wrote calibrated scales -> {args.save_scales}")
         sparams = {
             "transformer": attach_static_ascale(
-                params["transformer"], to_scales(params["transformer"], am_t)),
+                params["transformer"], scales["transformer"]),
             "branch": attach_static_ascale(
-                params["branch"], to_scales(params["branch"], am_b)),
+                params["branch"], scales["branch"]),
         }
         t0s = time.time()
         got_sta = run_traj(sparams, use_flash=int8_flash)

@@ -174,6 +174,16 @@ def generate_video(args, first_frame_inpaint_fn: Optional[Callable] = None,
             params["transformer"], free_source=True)
         params["branch"] = quantize_transformer_int8(params["branch"],
                                                      free_source=True)
+        if getattr(args, "int8_scales", None):
+            # calibrated STATIC activation scales (quantize.calibrate_ascales
+            # -> save_ascales, e.g. via tools/gate_int8_flagship.py
+            # --ascale --save-scales): removes the per-token quantize reduce
+            from ..quantize import attach_static_ascale, load_ascales
+
+            for model_name, sites in load_ascales(args.int8_scales).items():
+                if model_name in params:
+                    params[model_name] = attach_static_ascale(
+                        params[model_name], sites)
         # in-place quantization checkerboards the heap (int8 leaves in the
         # holes of the freed bf16 kernels); re-materialize through one jitted
         # copy so the denoise scan's contiguous temp arena can be placed
@@ -289,6 +299,12 @@ def get_args(argv=None):
     p.add_argument("--int8_pv", action="store_true",
                    help="int8-QK^T AND int8-P.V flash attention (fastest "
                         "attention mode; slightly lossier than --int8_attn)")
+    p.add_argument("--int8_scales", default=None,
+                   help="npz of calibrated STATIC activation scales "
+                        "(quantize.save_ascales) to attach to the int8 "
+                        "linears — removes the per-token quantize reduce; "
+                        "calibrate offline (quantize.calibrate_ascales or "
+                        "tools/gate_int8_flagship.py --ascale --save-scales)")
     p.add_argument("--capture_int8", action="store_true",
                    help="store the compressed cross-window ID state as "
                         "per-token int8 (+scales) - halves it again; "

@@ -66,6 +66,47 @@ def linear(p: dict, x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
     return y
 
 
+@jax.custom_vjp
+def _int8_matmul_ste(x32, xs, kernel_q, kscale):
+    """y = clip(round(x32/xs)) @ kernel_q * xs * kscale, int32 MXU accumulation.
+
+    Backward = straight-through estimator: the quantize (round/clip and the
+    xs dependence on x in the dynamic mode) is treated as identity, so
+    dx = (g * kscale) @ dequantized-W^T — the QLoRA-style recipe that makes a
+    FROZEN int8 backbone differentiable (branch/LoRA grads flow through it).
+    Without this, autodiff through round() silently yields ~zero gradients."""
+    xq = jnp.clip(jnp.round(x32 / xs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, kernel_q,
+        dimension_numbers=(((x32.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * xs * kscale.astype(jnp.float32)
+
+
+def _int8_matmul_ste_fwd(x32, xs, kernel_q, kscale):
+    return _int8_matmul_ste(x32, xs, kernel_q, kscale), (kernel_q, kscale,
+                                                         xs.shape)
+
+
+def _int8_matmul_ste_bwd(res, g):
+    import numpy as np
+
+    kernel_q, kscale, xs_shape = res
+    # bf16 matmul against the dequantized weights (cast is a per-call temp;
+    # the resident weights stay int8)
+    gk = (g * kscale.astype(jnp.float32)).astype(jnp.bfloat16)
+    dx = jax.lax.dot_general(
+        gk, kernel_q.astype(jnp.bfloat16),
+        dimension_numbers=(((g.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return (dx, jnp.zeros(xs_shape, jnp.float32),
+            np.zeros(kernel_q.shape, jax.dtypes.float0),
+            jnp.zeros_like(kscale))
+
+
+_int8_matmul_ste.defvjp(_int8_matmul_ste_fwd, _int8_matmul_ste_bwd)
+
+
 def _linear_int8(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     """W8A8 with per-out-channel weight scales and per-token activation
     scales; int32 accumulation on the MXU.
@@ -74,30 +115,23 @@ def _linear_int8(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     carry an `ascale` leaf (static calibrated per-layer scale, see
     quantize.attach_static_ascale), the per-token reduce is skipped — the
     quantize becomes a fused multiply/round/clip with clipping instead of
-    rescaling for outliers (SmoothQuant-style static W8A8)."""
+    rescaling for outliers (SmoothQuant-style static W8A8).
+
+    Differentiable via a straight-through estimator (see _int8_matmul_ste):
+    a frozen int8 backbone passes exact-in-expectation gradients to whatever
+    feeds it (branch features, LoRA adapters)."""
     orig = x.dtype
     x32 = x.astype(jnp.float32)
     if "ascale" in p:
         xs = p["ascale"].astype(jnp.float32)  # scalar (per layer under scan)
-        xq = jnp.clip(jnp.round(x32 / xs), -127, 127).astype(jnp.int8)
-        acc = jax.lax.dot_general(
-            xq, p["kernel_q"],
-            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        y = acc.astype(jnp.float32) * xs * p["kscale"].astype(jnp.float32)
-        if "bias" in p and p["bias"] is not None:
-            y = y + p["bias"].astype(jnp.float32)
-        return y.astype(orig)
-    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
-    if _CALIB_TAP is not None:
-        _CALIB_TAP.append(jnp.max(amax))  # global amax, in call order
-    xs = jnp.where(amax > 0, amax / 127.0, 1.0)
-    xq = jnp.clip(jnp.round(x32 / xs), -127, 127).astype(jnp.int8)
-    acc = jax.lax.dot_general(
-        xq, p["kernel_q"],
-        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    y = acc.astype(jnp.float32) * xs * p["kscale"].astype(jnp.float32)
+        xs = jnp.broadcast_to(xs, x32.shape[:-1] + (1,))
+    else:
+        amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+        if _CALIB_TAP is not None:
+            _CALIB_TAP.append(jnp.max(amax))  # global amax, in call order
+        xs = jnp.where(amax > 0, amax / 127.0, 1.0)
+        xs = jax.lax.stop_gradient(xs)  # STE: no grad through the amax path
+    y = _int8_matmul_ste(x32, xs, p["kernel_q"], p["kscale"])
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"].astype(jnp.float32)
     return y.astype(orig)

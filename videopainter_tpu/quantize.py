@@ -150,6 +150,34 @@ def calibrate_ascales(model, params: dict, samples, *, margin: float = 1.0,
             for i, name in enumerate(sites)}
 
 
+def save_ascales(path: str, scales_by_model: dict) -> None:
+    """Write calibrated activation scales to an .npz.
+
+    scales_by_model: {"transformer": {site: [L]}, "branch": {site: [L]}}
+    (each inner dict from calibrate_ascales). Keys flatten to
+    "<model>/<site>" in the archive.
+    """
+    import numpy as np
+
+    flat = {f"{m}/{s}": np.asarray(v, np.float32)
+            for m, sites in scales_by_model.items() for s, v in sites.items()}
+    if not flat:
+        raise ValueError("no scales to save")
+    np.savez(path, **flat)
+
+
+def load_ascales(path: str) -> dict:
+    """Inverse of save_ascales: {"<model>": {site: [L] float32}}."""
+    import numpy as np
+
+    out: dict = {}
+    with np.load(path) as z:
+        for k in z.files:
+            m, s = k.split("/", 1)
+            out.setdefault(m, {})[s] = z[k]
+    return out
+
+
 def quantize_transformer_int8(params: dict,
                               subtrees: Iterable[str] = ("blocks",),
                               *, free_source: bool = False) -> dict:
