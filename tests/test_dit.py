@@ -260,3 +260,50 @@ def test_resident_flash_variant_paths_match_exact(env):
                              use_flash=True, **kw)
     np.testing.assert_allclose(np.asarray(out.sample), np.asarray(ref.sample),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pos_embedding_prefix_crop_for_fewer_frames():
+    """Shorter videos under the sincos/learned table: the reference
+    RECOMPUTES the table for non-default dims (embeddings.py:440-449); with
+    equal spatial dims and fewer frames that equals a prefix crop — the
+    forward must match a model built with the smaller sample_frames, and a
+    spatial mismatch must raise (embeddings.py:436-439)."""
+    import pytest
+
+    from videopainter_tpu.config import TransformerConfig
+    from videopainter_tpu.models import CogVideoXTransformer3D
+
+    big = TransformerConfig.tiny(in_channels=16, out_channels=16,
+                                 sample_height=8, sample_width=12,
+                                 sample_frames=17,
+                                 use_rotary_positional_embeddings=False)
+    small = TransformerConfig.tiny(in_channels=16, out_channels=16,
+                                   sample_height=8, sample_width=12,
+                                   sample_frames=9,
+                                   use_rotary_positional_embeddings=False)
+    import jax
+
+    mb = CogVideoXTransformer3D(big)
+    ms = CogVideoXTransformer3D(small)
+    pb = mb.init(jax.random.PRNGKey(0))
+    ps = ms.init(jax.random.PRNGKey(0))
+    # same weights everywhere except the table; small table is a prefix
+    np.testing.assert_array_equal(
+        np.asarray(pb["patch_embed"]["pos_embedding"][:, :ps["patch_embed"]
+                   ["pos_embedding"].shape[1]]),
+        np.asarray(ps["patch_embed"]["pos_embedding"]))
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 3, 8, 12, 16), jnp.float32)  # 3 < 5 latent f
+    e = jnp.asarray(rng.randn(1, big.max_text_seq_length, big.text_embed_dim),
+                    jnp.float32)
+    t = jnp.array([7])
+    out_big = mb.apply(pb, x, e, t).sample
+    out_small = ms.apply(ps, x, e, t).sample
+    np.testing.assert_allclose(np.asarray(out_big), np.asarray(out_small),
+                               rtol=1e-6, atol=1e-6)
+
+    # spatial mismatch: loud error, not silent misalignment
+    x_bad = jnp.asarray(rng.randn(1, 3, 4, 12, 16), jnp.float32)
+    with pytest.raises(ValueError):
+        mb.apply(pb, x_bad, e, t)

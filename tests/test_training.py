@@ -83,6 +83,23 @@ def make_batch(b=1, t=9):
     }
 
 
+def test_branch_params_never_alias_backbone(tiny_stack):
+    """init_from_transformer must COPY every leaf it takes from the backbone:
+    the branch tree is donated into the train step (donate_argnums) while the
+    backbone rides along frozen — a shared buffer is the `f(donate(a), a)`
+    runtime error. Covers the trivial-slice case (branch depth == backbone
+    depth) where x[:L] returns the same buffer."""
+    _, _, _, _, tp, bp, _ = tiny_stack
+    tp_ptrs = {leaf.unsafe_buffer_pointer()
+               for leaf in jax.tree.leaves(tp)
+               if hasattr(leaf, "unsafe_buffer_pointer")}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(bp)[0]:
+        if not hasattr(leaf, "unsafe_buffer_pointer"):
+            continue
+        assert leaf.unsafe_buffer_pointer() not in tp_ptrs, \
+            f"branch leaf aliases backbone buffer: {jax.tree_util.keystr(path)}"
+
+
 def test_branch_train_step_learns(tiny_stack):
     transformer, branch, vae, sched, tp, bp, vp = tiny_stack
     cfg = BranchTrainConfig(height=64, width=96, mask_add=True, remat=False)

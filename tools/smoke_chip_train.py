@@ -29,9 +29,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 LADDER = [42, 32, 28, 24, 21]
 
 
-def run_rung(layers: int, steps: int) -> dict:
+def run_rung(layers: int, steps: int, int8_backbone: bool = False,
+             frames: int = 49) -> dict:
     cmd = [sys.executable, __file__, "--layers", str(layers),
-           "--steps", str(steps)]
+           "--steps", str(steps), "--frames", str(frames)] + \
+          (["--int8-backbone"] if int8_backbone else [])
     try:
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     except subprocess.TimeoutExpired:
@@ -93,6 +95,15 @@ def measure(args) -> None:
     params = _build(jax.random.PRNGKey(0), jax.random.PRNGKey(1),
                     transformer.host_pos_embedding())
     jax.block_until_ready(params)
+    if args.int8_backbone:
+        # QLoRA-style: the FROZEN backbone runs int8 W8A8 (halves its HBM
+        # share, 10.7 -> 5.4 GiB at 42L) while gradients flow through it to
+        # the branch via the straight-through estimator
+        # (ops/basic._int8_matmul_ste); the trainable branch stays fp32
+        from videopainter_tpu.quantize import quantize_transformer_int8
+
+        params["transformer"] = quantize_transformer_int8(
+            params["transformer"], free_source=True)
     params["vae"] = jax.jit(lambda k: vae.init(k, dtype=dtype))(
         jax.random.PRNGKey(2))
     jax.block_until_ready(params["vae"])
@@ -131,9 +142,12 @@ def measure(args) -> None:
     step_s = (time.time() - t0) / max(args.steps, 1)
 
     assert np.isfinite(loss0) and np.isfinite(loss), (loss0, loss)
+    frozen_desc = ("int8-STE frozen (QLoRA-style)" if args.int8_backbone
+                   else "bf16 frozen")
     print(json.dumps({
         "layers": args.layers, "ok": True,
-        "dims": f"{T}f x {args.height}x{args.width}, batch 1, bf16 frozen + "
+        "int8_backbone": bool(args.int8_backbone),
+        "dims": f"{T}f x {args.height}x{args.width}, batch 1, {frozen_desc} + "
                 "fp32 branch, flash fwd+bwd, remat, mask_add",
         "step_s": round(step_s, 2),
         "compile_s": round(compile_s, 1), "init_s": round(init_s, 1),
@@ -150,6 +164,10 @@ def main():
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=720)
     ap.add_argument("--frames", type=int, default=49)
+    ap.add_argument("--int8-backbone", action="store_true",
+                    help="freeze the backbone as int8 W8A8 (STE gradients; "
+                         "QLoRA-style) — halves its HBM share so deeper "
+                         "stacks fit one chip")
     args = ap.parse_args()
 
     if args.layers:
@@ -158,15 +176,27 @@ def main():
     results = []
     best = None
     for layers in LADDER:
-        r = run_rung(layers, args.steps)
+        r = run_rung(layers, args.steps, int8_backbone=args.int8_backbone,
+                     frames=args.frames)
         results.append(r)
         print(json.dumps(r), flush=True)
         if r.get("ok"):
             best = r
             break
-    out = {"rungs": results, "best": best}
-    with open(os.path.join(os.path.dirname(__file__), "..",
-                           "TRAIN_SMOKE.json"), "w") as f:
+    mode = ("int8_backbone" if args.int8_backbone else "bf16_backbone") + \
+        f"_{args.frames}f"
+    path = os.path.join(os.path.dirname(__file__), "..", "TRAIN_SMOKE.json")
+    out = {}
+    if os.path.exists(path):  # accumulate: one section per (mode, frames)
+        try:
+            with open(path) as f:
+                out = json.load(f)
+        except Exception:
+            out = {}
+    if "rungs" in out:  # migrate the pre-section format (bf16 @49f ladder)
+        out = {"bf16_backbone_49f": out}
+    out[mode] = {"rungs": results, "best": best}
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
     print(json.dumps({"best": best}))

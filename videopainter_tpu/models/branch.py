@@ -103,13 +103,28 @@ class CogVideoXBranch:
             new_k = new_k.at[:, :, half:c_in].set(bb_k[:, :, :half])
         else:
             raise ValueError(f"in_channels {c_in} not supported")
+        # COPY (not alias) every leaf taken from the backbone: the branch tree
+        # is TRAINABLE and gets donated into the train step (donate_argnums) —
+        # a shared buffer with the frozen backbone would be donated out from
+        # under it (`f(donate(a), a)` runtime error, caught by
+        # test_trainer_loop_with_mesh)
         params["patch_embed"]["proj"]["kernel"] = new_k.reshape(p * p * cfg.patch_in_channels, d)
-        params["patch_embed"]["proj"]["bias"] = transformer_params["patch_embed"]["proj"]["bias"]
+        params["patch_embed"]["proj"]["bias"] = \
+            transformer_params["patch_embed"]["proj"]["bias"].copy()
         params["patch_embed"]["text_proj"] = jax.tree.map(
-            lambda x: x, transformer_params["patch_embed"]["text_proj"])
-        params["time_embedding"] = jax.tree.map(lambda x: x, transformer_params["time_embedding"])
+            lambda x: x.copy(), transformer_params["patch_embed"]["text_proj"])
+        params["time_embedding"] = jax.tree.map(
+            lambda x: x.copy(), transformer_params["time_embedding"])
+        if "pos_embedding" in params["patch_embed"]:
+            # init(pos_embedding=backbone_table) aliases when dtypes match
+            params["patch_embed"]["pos_embedding"] = \
+                params["patch_embed"]["pos_embedding"].copy()
         params["blocks"] = jax.tree.map(
-            lambda x: x[: cfg.num_layers], transformer_params["blocks"])
+            # a trivial slice (branch depth == backbone depth) returns the
+            # SAME buffer — copy so the frozen backbone is never aliased
+            lambda x: (x[: cfg.num_layers].copy()
+                       if cfg.num_layers >= x.shape[0] else x[: cfg.num_layers]),
+            transformer_params["blocks"])
         return params
 
     def apply(
@@ -151,7 +166,10 @@ class CogVideoXBranch:
         x = jnp.concatenate([hidden_states, branch_cond], axis=-1)
         if encoder_hidden_states is None:
             raise ValueError("encoder_hidden_states required (wo_text still embeds text)")
-        pos = params["patch_embed"].get("pos_embedding")
+        from .dit import crop_pos_embedding
+        pos = crop_pos_embedding(params["patch_embed"].get("pos_embedding"),
+                                 cfg, encoder_hidden_states.shape[1],
+                                 x.shape[1], x.shape[2], x.shape[3])
         embeds, _ = patch_embed(params["patch_embed"], encoder_hidden_states, x,
                                 patch_size=cfg.patch_size, pos_embedding=pos)
         text_len = encoder_hidden_states.shape[1]

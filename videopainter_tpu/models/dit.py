@@ -52,6 +52,35 @@ from ..ops.sincos import get_3d_sincos_pos_embed
 _SEQ_PAD_MULTIPLE = 2048
 
 
+def crop_pos_embedding(pos, cfg, text_len: int, num_frames: int,
+                       height: int, width: int):
+    """Size the stored joint sincos table to the actual input.
+
+    The reference RECOMPUTES the table when the input dims differ from the
+    sample dims (embeddings.py:440-449); with equal latent H/W and fewer
+    frames the recomputed table is bit-identical to a prefix crop (text rows
+    are zeros, video rows are t-major with the same per-frame grid), so crop.
+    Mirrors the reference's ValueError for a spatial mismatch under learned
+    positional embeddings (embeddings.py:436-439)."""
+    if pos is None:
+        return None
+    p = cfg.patch_size
+    s_vid = num_frames * (height // p) * (width // p)
+    need = text_len + s_vid
+    if pos.shape[1] == need:
+        return pos
+    if (height != cfg.sample_height or width != cfg.sample_width
+            or text_len != cfg.max_text_seq_length or pos.shape[1] < need):
+        raise ValueError(
+            f"positional-embedding table ({pos.shape[1]} tokens) cannot be "
+            f"cropped to the input ({need} tokens: text {text_len}, video "
+            f"{num_frames}x{height // p}x{width // p}): only a shorter video "
+            f"at the sample spatial dims ({cfg.sample_height}x"
+            f"{cfg.sample_width}) and full text length "
+            f"({cfg.max_text_seq_length}) is a prefix of the stored table")
+    return pos[:, :need]
+
+
 def _joint_identity_rope(rope, text_len: int, s_total: int):
     """Extend the video cos/sin tables to the full (padded) joint sequence
     with identity rows (cos=1, sin=0) over the text segment and pad tail.
@@ -317,7 +346,9 @@ class CogVideoXTransformer3D:
 
         # 2. patch embedding (+ optional mask pooling)
         masks_in = self_guidance_masks if self_guidance_masks is not None else branch_block_masks
-        pos = params["patch_embed"].get("pos_embedding")
+        pos = crop_pos_embedding(params["patch_embed"].get("pos_embedding"),
+                                 cfg, encoder_hidden_states.shape[1],
+                                 num_frames, height, width)
         embeds, patch_mask = patch_embed(
             params["patch_embed"], encoder_hidden_states, hidden_states,
             patch_size=cfg.patch_size, masks=masks_in, pos_embedding=pos)

@@ -24,6 +24,7 @@ kernels recomputed inside the loss (cheap einsum, keeps base frozen).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -147,7 +148,7 @@ def make_branch_train_step(transformer, branch, vae, scheduler, optimizer,
     """
     prepare = _make_prepare(vae, scheduler, cfg)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def _grad_step(state, frozen_transformer, noisy_vid, image_latents,
                    branch_cond, mask_lat, model_input, timesteps,
                    prompt_embeds, rope):
@@ -188,6 +189,7 @@ def make_branch_train_step(transformer, branch, vae, scheduler, optimizer,
         return _grad_step(state, frozen["transformer"], *prep,
                           batch["prompt_embeds"], rope)
 
+    train_step.grad_step = _grad_step  # exposed for memory diagnostics
     return train_step
 
 
@@ -199,7 +201,7 @@ def make_lora_train_step(transformer, branch, vae, scheduler, optimizer,
     id_pool_resample_learnable=True). Self-jitting like the branch step."""
     prepare = _make_prepare(vae, scheduler, cfg)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def _grad_step(state, frozen_models, noisy_vid, image_latents, branch_cond,
                    mask_lat, model_input, timesteps, prompt_embeds, rope):
         noisy_model_input = (jnp.concatenate([noisy_vid, image_latents], axis=-1)

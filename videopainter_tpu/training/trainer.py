@@ -102,11 +102,24 @@ def shard_train_setup(mesh, trainable, opt_state, frozen_params):
     from ..parallel.sharding import fit_spec
 
     t_specs = branch_param_specs(trainable)
-    trainable = shard_params(trainable, t_specs, mesh)
+    # The trainable/opt state is DONATED into the train step, so it must own
+    # its buffers — device_put can be zero-copy (host backends reuse the
+    # source buffer), which would delete the caller's tree on the first step.
+    # A jitted identity always materializes fresh, compactly-assigned buffers.
+    trainable = jax.jit(
+        lambda t: t,
+        out_shardings=jax.tree.map(
+            lambda x, s: NamedSharding(mesh, fit_spec(x, s, mesh)),
+            trainable, t_specs,
+            is_leaf=lambda x: not isinstance(x, (dict, list))),
+    )(trainable)
     os_specs = opt_state_specs(opt_state, trainable, t_specs)
-    opt_state = jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, fit_spec(x, s, mesh))),
-        opt_state, os_specs)
+    opt_state = jax.jit(
+        lambda t: t,
+        out_shardings=jax.tree.map(
+            lambda x, s: NamedSharding(mesh, fit_spec(x, s, mesh)),
+            opt_state, os_specs),
+    )(opt_state)
     placed_frozen = {}
     for name, tree in frozen_params.items():
         specs = (vae_param_specs(tree) if name == "vae"
