@@ -83,6 +83,69 @@ def make_batch(b=1, t=9):
     }
 
 
+def test_make_optimizer_reference_surface():
+    """make_optimizer mirrors the reference get_optimizer choices
+    (train_...video.py:1236-1314: adam/adamw/prodigy; adafactor is the TPU
+    analog of --use_8bit_adam): every mode produces finite param movement,
+    and adafactor's state is genuinely smaller (factored second moment)."""
+    params = {"w": jnp.ones((64, 32)), "b": jnp.zeros((32,))}
+    grads = {"w": jnp.full((64, 32), 0.1), "b": jnp.full((32,), -0.2)}
+    sizes = {}
+    for name in ["adam", "adamw", "prodigy", "adafactor"]:
+        opt = make_optimizer(lr=1e-2, optimizer=name)
+        st = opt.init(params)
+        upd, st = opt.update(grads, st, params)
+        new = jax.tree.map(lambda p, u: p + u, params, upd)
+        moved = float(sum(jnp.abs(n - p).sum()
+                          for n, p in zip(jax.tree.leaves(new),
+                                          jax.tree.leaves(params))))
+        assert np.isfinite(moved), name
+        if name != "prodigy":  # prodigy's first step is lr-discovery
+            assert moved > 0, name
+        sizes[name] = sum(l.size for l in jax.tree.leaves(st)
+                          if hasattr(l, "size"))
+    # factored second moment + no first moment on matrices: ~half the state
+    # on these tiny shapes (the flagship stacked [L,3072,...] leaves factor
+    # far better)
+    assert sizes["adafactor"] < 0.55 * sizes["adamw"], sizes
+    with pytest.raises(ValueError):
+        make_optimizer(optimizer="sgd-nope")
+
+
+def test_branch_train_step_bf16_branch_adafactor(tiny_stack):
+    """The single-chip 42L@49f training config: bf16 trainable branch (no
+    fp32 master weights) under adafactor. One step must produce a finite
+    loss and move the params (tools/smoke_chip_train.py --bf16-branch
+    --optimizer adafactor)."""
+    transformer, branch, vae, sched, tp, _, vp = tiny_stack
+    bp16 = branch.init_from_transformer(jax.random.PRNGKey(1), tp, DIT_CFG,
+                                        dtype=jnp.bfloat16)
+    # the dtype arg governs EVERY leaf, incl. the ones copied from the (here
+    # fp32) backbone — a mixed tree would silently misreport master-weight
+    # memory
+    bad = [jax.tree_util.keystr(p) for p, l in
+           jax.tree_util.tree_flatten_with_path(bp16)[0]
+           if l.dtype != jnp.bfloat16]
+    assert not bad, bad
+    cfg = BranchTrainConfig(height=64, width=96, mask_add=True, remat=False)
+    optimizer = make_optimizer(lr=1e-3, optimizer="adafactor")
+    state = init_branch_train_state(bp16, optimizer)
+    # snapshot BEFORE the step: the self-jitting step DONATES its state
+    before = jax.tree.map(lambda x: np.asarray(x, np.float32),
+                          state.trainable)
+    step = make_branch_train_step(transformer, branch, vae, sched,
+                                  optimizer, cfg)
+    state1, m1 = step(state, {"transformer": tp, "vae": vp}, make_batch(),
+                      jax.random.PRNGKey(0))
+    assert np.isfinite(float(m1["total_loss"]))
+    assert state1.trainable["patch_embed"]["proj"]["kernel"].dtype == jnp.bfloat16
+    delta = jax.tree.reduce(
+        lambda a, x: a + float(np.abs(x).sum()),
+        jax.tree.map(lambda a, b: np.asarray(a, np.float32) - b,
+                     state1.trainable, before), 0.0)
+    assert delta > 0
+
+
 def test_branch_params_never_alias_backbone(tiny_stack):
     """init_from_transformer must COPY every leaf it takes from the backbone:
     the branch tree is donated into the train step (donate_argnums) while the

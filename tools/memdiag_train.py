@@ -26,6 +26,13 @@ def main():
     ap.add_argument("--int8-backbone", action="store_true")
     ap.add_argument("--no-flash", action="store_true")
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--optimizer", default="adamw",
+                    help="adam|adamw|prodigy|adafactor (adafactor factors "
+                         "the second moment: ~2 GiB less fp32 state on the "
+                         "flagship branch)")
+    ap.add_argument("--bf16-branch", action="store_true",
+                    help="bf16 trainable branch (no fp32 master weights): "
+                         "~0.5 GiB less — the last squeeze for 42L@49f")
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=720)
     ap.add_argument("--frames", type=int, default=49)
@@ -64,7 +71,7 @@ def main():
     tcfg = BranchTrainConfig(height=args.height, width=args.width,
                              mask_add=True, remat=not args.no_remat,
                              use_flash=not args.no_flash)
-    optimizer = make_optimizer(lr=1e-5)
+    optimizer = make_optimizer(lr=1e-5, optimizer=args.optimizer)
     step = make_branch_train_step(transformer, branch, vae, sched, optimizer,
                                   tcfg)
 
@@ -74,8 +81,9 @@ def main():
         lambda k: transformer.init(k, dtype=dtype,
                                    pos_embedding=transformer.host_pos_embedding()),
         jax.random.PRNGKey(0))
+    bdt = jnp.bfloat16 if args.bf16_branch else jnp.float32
     bp_shapes = jax.eval_shape(
-        lambda k: branch.init(k, dtype=jnp.float32), jax.random.PRNGKey(1))
+        lambda k: branch.init(k, dtype=bdt), jax.random.PRNGKey(1))
     if args.int8_backbone:
         from videopainter_tpu.quantize import _BLOCK_LINEARS
 
@@ -115,6 +123,8 @@ def main():
                                    mask, lat, ts, emb, rope)
     base = {"layers": args.layers, "frames": args.frames,
             "int8_backbone": bool(args.int8_backbone),
+            "optimizer": args.optimizer,
+            "bf16_branch": bool(args.bf16_branch),
             "flash": not args.no_flash, "remat": not args.no_remat}
     try:
         compiled = lowered.compile()

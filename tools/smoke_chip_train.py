@@ -30,10 +30,13 @@ LADDER = [42, 32, 28, 24, 21]
 
 
 def run_rung(layers: int, steps: int, int8_backbone: bool = False,
-             frames: int = 49) -> dict:
+             frames: int = 49, optimizer: str = "adamw",
+             bf16_branch: bool = False) -> dict:
     cmd = [sys.executable, __file__, "--layers", str(layers),
-           "--steps", str(steps), "--frames", str(frames)] + \
-          (["--int8-backbone"] if int8_backbone else [])
+           "--steps", str(steps), "--frames", str(frames),
+           "--optimizer", optimizer] + \
+          (["--int8-backbone"] if int8_backbone else []) + \
+          (["--bf16-branch"] if bf16_branch else [])
     try:
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     except subprocess.TimeoutExpired:
@@ -85,10 +88,12 @@ def measure(args) -> None:
     # axon remote-compile request, HTTP 413). VAE in its own program.
     # Frozen stacks bf16; the TRAINABLE branch in fp32 (master weights, as
     # DeepSpeed bf16 keeps fp32 master params)
+    bdt = jnp.bfloat16 if args.bf16_branch else jnp.float32
+
     @jax.jit
     def _build(k0, k1, pos):
         tp = transformer.init(k0, dtype=dtype, pos_embedding=pos)
-        bp = branch.init_from_transformer(k1, tp, cfg, dtype=jnp.float32)
+        bp = branch.init_from_transformer(k1, tp, cfg, dtype=bdt)
         return {"transformer": tp, "branch": bp}
 
     t0 = time.time()
@@ -111,7 +116,7 @@ def measure(args) -> None:
 
     tcfg = BranchTrainConfig(height=args.height, width=args.width,
                              mask_add=True, remat=True, use_flash=True)
-    optimizer = make_optimizer(lr=1e-5)
+    optimizer = make_optimizer(lr=1e-5, optimizer=args.optimizer)
     state = init_branch_train_state(params.pop("branch"), optimizer)
     train_step = make_branch_train_step(transformer, branch, vae, sched,
                                         optimizer, tcfg)
@@ -144,11 +149,15 @@ def measure(args) -> None:
     assert np.isfinite(loss0) and np.isfinite(loss), (loss0, loss)
     frozen_desc = ("int8-STE frozen (QLoRA-style)" if args.int8_backbone
                    else "bf16 frozen")
+    branch_desc = "bf16 branch" if args.bf16_branch else "fp32 branch"
     print(json.dumps({
         "layers": args.layers, "ok": True,
         "int8_backbone": bool(args.int8_backbone),
+        "optimizer": args.optimizer,
+        "bf16_branch": bool(args.bf16_branch),
         "dims": f"{T}f x {args.height}x{args.width}, batch 1, {frozen_desc} + "
-                "fp32 branch, flash fwd+bwd, remat, mask_add",
+                f"{branch_desc} ({args.optimizer}), flash fwd+bwd, remat, "
+                "mask_add",
         "step_s": round(step_s, 2),
         "compile_s": round(compile_s, 1), "init_s": round(init_s, 1),
         "loss_first": round(loss0, 4), "loss_last": round(loss, 4),
@@ -168,6 +177,11 @@ def main():
                     help="freeze the backbone as int8 W8A8 (STE gradients; "
                          "QLoRA-style) — halves its HBM share so deeper "
                          "stacks fit one chip")
+    ap.add_argument("--optimizer", default="adamw",
+                    help="adam|adamw|prodigy|adafactor (adafactor: factored "
+                         "second moment, ~2 GiB less optimizer HBM)")
+    ap.add_argument("--bf16-branch", action="store_true",
+                    help="bf16 trainable branch (no fp32 master weights)")
     args = ap.parse_args()
 
     if args.layers:
@@ -177,14 +191,17 @@ def main():
     best = None
     for layers in LADDER:
         r = run_rung(layers, args.steps, int8_backbone=args.int8_backbone,
-                     frames=args.frames)
+                     frames=args.frames, optimizer=args.optimizer,
+                     bf16_branch=args.bf16_branch)
         results.append(r)
         print(json.dumps(r), flush=True)
         if r.get("ok"):
             best = r
             break
     mode = ("int8_backbone" if args.int8_backbone else "bf16_backbone") + \
-        f"_{args.frames}f"
+        f"_{args.frames}f" + \
+        (f"_{args.optimizer}" if args.optimizer != "adamw" else "") + \
+        ("_bf16branch" if args.bf16_branch else "")
     path = os.path.join(os.path.dirname(__file__), "..", "TRAIN_SMOKE.json")
     out = {}
     if os.path.exists(path):  # accumulate: one section per (mode, frames)

@@ -103,27 +103,31 @@ class CogVideoXBranch:
             new_k = new_k.at[:, :, half:c_in].set(bb_k[:, :, :half])
         else:
             raise ValueError(f"in_channels {c_in} not supported")
-        # COPY (not alias) every leaf taken from the backbone: the branch tree
-        # is TRAINABLE and gets donated into the train step (donate_argnums) —
-        # a shared buffer with the frozen backbone would be donated out from
-        # under it (`f(donate(a), a)` runtime error, caught by
-        # test_trainer_loop_with_mesh)
-        params["patch_embed"]["proj"]["kernel"] = new_k.reshape(p * p * cfg.patch_in_channels, d)
-        params["patch_embed"]["proj"]["bias"] = \
-            transformer_params["patch_embed"]["proj"]["bias"].copy()
+        # Every leaf taken from the backbone must be (a) CAST to the branch
+        # dtype — the trainable branch may keep fp32 master weights while the
+        # frozen backbone is bf16 — and (b) COPIED, never aliased: the branch
+        # tree is donated into the train step (donate_argnums), and a shared
+        # buffer with the frozen backbone would be donated out from under it
+        # (`f(donate(a), a)` runtime error, caught by
+        # test_trainer_loop_with_mesh). astype to a different dtype always
+        # materializes; same-dtype astype can return the same buffer, so copy.
+        def own(x):
+            return x.astype(dtype) if x.dtype != dtype else x.copy()
+
+        params["patch_embed"]["proj"]["kernel"] = own(
+            new_k.reshape(p * p * cfg.patch_in_channels, d))
+        params["patch_embed"]["proj"]["bias"] = own(
+            transformer_params["patch_embed"]["proj"]["bias"])
         params["patch_embed"]["text_proj"] = jax.tree.map(
-            lambda x: x.copy(), transformer_params["patch_embed"]["text_proj"])
+            own, transformer_params["patch_embed"]["text_proj"])
         params["time_embedding"] = jax.tree.map(
-            lambda x: x.copy(), transformer_params["time_embedding"])
+            own, transformer_params["time_embedding"])
         if "pos_embedding" in params["patch_embed"]:
             # init(pos_embedding=backbone_table) aliases when dtypes match
-            params["patch_embed"]["pos_embedding"] = \
-                params["patch_embed"]["pos_embedding"].copy()
+            params["patch_embed"]["pos_embedding"] = own(
+                params["patch_embed"]["pos_embedding"])
         params["blocks"] = jax.tree.map(
-            # a trivial slice (branch depth == backbone depth) returns the
-            # SAME buffer — copy so the frozen backbone is never aliased
-            lambda x: (x[: cfg.num_layers].copy()
-                       if cfg.num_layers >= x.shape[0] else x[: cfg.num_layers]),
+            lambda x: own(x[: cfg.num_layers]),
             transformer_params["blocks"])
         return params
 

@@ -64,6 +64,14 @@ def get_args(argv=None):
     # optimization
     p.add_argument("--max_train_steps", type=int, default=10000)
     p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--optimizer", default="adamw",
+                   choices=["adam", "adamw", "prodigy", "adafactor"],
+                   help="reference get_optimizer surface "
+                        "(train_...video.py:1236-1314) + adafactor")
+    p.add_argument("--use_8bit_adam", action="store_true",
+                   help="TPU analog of bitsandbytes 8-bit Adam: switches to "
+                        "adafactor (factored second moment — the optimizer-"
+                        "HBM reduction, no int8 state kernels needed)")
     p.add_argument("--lr_warmup_steps", type=int, default=100)
     p.add_argument("--lr_num_cycles", type=int, default=1)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
@@ -196,7 +204,9 @@ def main(argv=None):
         lora_rank=args.rank, lora_alpha=args.lora_alpha)
     trcfg = TrainerConfig(
         output_dir=args.output_dir, max_train_steps=args.max_train_steps,
-        learning_rate=args.learning_rate, lr_warmup_steps=args.lr_warmup_steps,
+        learning_rate=args.learning_rate,
+        optimizer=("adafactor" if args.use_8bit_adam else args.optimizer),
+        lr_warmup_steps=args.lr_warmup_steps,
         lr_num_cycles=args.lr_num_cycles, batch_size=args.train_batch_size,
         checkpointing_steps=args.checkpointing_steps,
         checkpoints_total_limit=args.checkpoints_total_limit,

@@ -61,9 +61,33 @@ class BranchTrainState(NamedTuple):
 
 
 def init_branch_train_state(trainable_params, optimizer) -> BranchTrainState:
+    opt_state = optimizer.init(trainable_params)
+    # The whole state is DONATED into the grad step. Some optax optimizers
+    # alias the params into their state (prodigy keeps params0=params) —
+    # a shared buffer inside one donated pytree is the `f(donate(a),
+    # donate(a))` runtime error. Copy any opt-state leaf whose buffer is a
+    # trainable buffer.
+    seen = set()
+    for leaf in jax.tree.leaves(trainable_params):
+        if hasattr(leaf, "unsafe_buffer_pointer"):
+            try:
+                seen.add(leaf.unsafe_buffer_pointer())
+            except Exception:  # non-addressable / sharded arrays
+                pass
+
+    def unalias(x):
+        try:
+            if hasattr(x, "unsafe_buffer_pointer") and \
+                    x.unsafe_buffer_pointer() in seen:
+                return x.copy()
+        except Exception:
+            pass
+        return x
+
+    opt_state = jax.tree.map(unalias, opt_state)
     return BranchTrainState(step=jnp.zeros((), jnp.int32),
                             trainable=trainable_params,
-                            opt_state=optimizer.init(trainable_params))
+                            opt_state=opt_state)
 
 
 def _make_prepare(vae, scheduler, cfg):

@@ -61,6 +61,7 @@ class TrainerConfig:
     output_dir: str = "runs/branch"
     max_train_steps: int = 10000
     learning_rate: float = 1e-5
+    optimizer: str = "adamw"  # adam | adamw | prodigy | adafactor
     lr_warmup_steps: int = 100
     lr_num_cycles: int = 1
     batch_size: int = 1
@@ -152,11 +153,15 @@ def train(transformer, branch, vae, scheduler, frozen_params: dict,
                                              tcfg.lr_warmup_steps,
                                              tcfg.max_train_steps,
                                              tcfg.lr_num_cycles)
-    optimizer = make_optimizer(schedule=schedule,
+    optimizer = make_optimizer(schedule=schedule, optimizer=tcfg.optimizer,
                                max_grad_norm=bcfg.max_grad_norm)
 
     if initial_trainable is None:
         raise ValueError("initial_trainable (branch params or LoRA tree) required")
+    # Own the buffers: the train step DONATES its state, which would delete
+    # the caller's tree on backends that honor donation (TPU, CPU). A jitted
+    # identity (no donation) materializes fresh outputs.
+    initial_trainable = jax.jit(lambda t: t)(initial_trainable)
     state = init_branch_train_state(initial_trainable, optimizer)
 
     start_step = 0
