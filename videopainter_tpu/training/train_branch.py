@@ -61,12 +61,15 @@ class BranchTrainState(NamedTuple):
 
 
 def init_branch_train_state(trainable_params, optimizer) -> BranchTrainState:
+    # The whole state is DONATED into the grad step, so it must OWN every
+    # buffer: copy the caller's trainable tree (else the first donated step
+    # deletes the caller's init tree out from under them), then make sure no
+    # opt-state leaf aliases a trainable buffer (prodigy keeps params0=params
+    # — a shared buffer inside one donated pytree is the `f(donate(a),
+    # donate(a))` runtime error).
+    trainable_params = jax.tree.map(
+        lambda x: x.copy() if hasattr(x, "copy") else x, trainable_params)
     opt_state = optimizer.init(trainable_params)
-    # The whole state is DONATED into the grad step. Some optax optimizers
-    # alias the params into their state (prodigy keeps params0=params) —
-    # a shared buffer inside one donated pytree is the `f(donate(a),
-    # donate(a))` runtime error. Copy any opt-state leaf whose buffer is a
-    # trainable buffer.
     seen = set()
     for leaf in jax.tree.leaves(trainable_params):
         if hasattr(leaf, "unsafe_buffer_pointer"):
