@@ -249,7 +249,19 @@ def main():
         if args.save_scales:
             from videopainter_tpu.quantize import save_ascales
 
-            save_ascales(args.save_scales, scales)
+            save_ascales(args.save_scales, scales, provenance={
+                "tool": "tools/gate_int8_flagship.py",
+                "argv": sys.argv[1:],
+                "layers": args.layers,
+                "steps": args.steps,
+                "margin": args.ascale_margin,
+                "calibration": "full dynamic-int8 CFG trajectory (both "
+                               "branches, every denoise step) via the "
+                               "in-scan amax tap; random-init weights "
+                               "(no public ckpt in env)",
+                "dims": f"B={B} T={T_lat} H={H_lat} W={W_lat} "
+                        f"joint_seq={cfg.max_text_seq_length}+video",
+            })
             print(f"wrote calibrated scales -> {args.save_scales}")
         sparams = {
             "transformer": attach_static_ascale(

@@ -150,31 +150,53 @@ def calibrate_ascales(model, params: dict, samples, *, margin: float = 1.0,
             for i, name in enumerate(sites)}
 
 
-def save_ascales(path: str, scales_by_model: dict) -> None:
+def save_ascales(path: str, scales_by_model: dict,
+                 provenance: dict | None = None) -> None:
     """Write calibrated activation scales to an .npz.
 
     scales_by_model: {"transformer": {site: [L]}, "branch": {site: [L]}}
     (each inner dict from calibrate_ascales). Keys flatten to
     "<model>/<site>" in the archive.
+
+    provenance (optional): a JSON-serializable dict recording how the scales
+    were produced (tool invocation, calibration sample set / step coverage,
+    margin) — stored under the reserved key "__provenance__" so deployments
+    can audit what a scales file was calibrated on.
     """
+    import json as _json
+
     import numpy as np
 
     flat = {f"{m}/{s}": np.asarray(v, np.float32)
             for m, sites in scales_by_model.items() for s, v in sites.items()}
     if not flat:
         raise ValueError("no scales to save")
+    if provenance is not None:
+        flat["__provenance__"] = np.frombuffer(
+            _json.dumps(provenance, sort_keys=True).encode(), dtype=np.uint8)
     np.savez(path, **flat)
 
 
-def load_ascales(path: str) -> dict:
-    """Inverse of save_ascales: {"<model>": {site: [L] float32}}."""
+def load_ascales(path: str, return_provenance: bool = False):
+    """Inverse of save_ascales: {"<model>": {site: [L] float32}}.
+
+    return_provenance=True returns (scales, provenance_dict_or_None).
+    """
+    import json as _json
+
     import numpy as np
 
     out: dict = {}
+    prov = None
     with np.load(path) as z:
         for k in z.files:
+            if k == "__provenance__":
+                prov = _json.loads(bytes(z[k].tobytes()).decode())
+                continue
             m, s = k.split("/", 1)
             out.setdefault(m, {})[s] = z[k]
+    if return_provenance:
+        return out, prov
     return out
 
 
