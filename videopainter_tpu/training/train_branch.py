@@ -62,26 +62,31 @@ class BranchTrainState(NamedTuple):
 
 def init_branch_train_state(trainable_params, optimizer) -> BranchTrainState:
     # The whole state is DONATED into the grad step, so it must OWN every
-    # buffer: copy the caller's trainable tree (else the first donated step
-    # deletes the caller's init tree out from under them), then make sure no
-    # opt-state leaf aliases a trainable buffer (prodigy keeps params0=params
-    # — a shared buffer inside one donated pytree is the `f(donate(a),
-    # donate(a))` runtime error).
-    trainable_params = jax.tree.map(
-        lambda x: x.copy() if hasattr(x, "copy") else x, trainable_params)
+    # buffer: re-materialize the caller's trainable tree through ONE jitted
+    # identity (fresh, compactly buffer-assigned outputs; an eager per-leaf
+    # .copy() interleaves copies with live buffers and fragments the axon
+    # heap), then make sure no opt-state leaf aliases a trainable buffer
+    # (prodigy keeps params0=params — a shared buffer inside one donated
+    # pytree is the `f(donate(a), donate(a))` runtime error).
+    trainable_params = jax.jit(lambda t: t)(trainable_params)
     opt_state = optimizer.init(trainable_params)
-    seen = set()
+    # Alias detection: optax aliasing keeps the SAME Array object, so id()
+    # catches it everywhere; unsafe_buffer_pointer (when the backend
+    # implements it — axon-PJRT raises UNIMPLEMENTED) additionally catches
+    # distinct Array objects sharing one buffer.
+    ids = {id(leaf) for leaf in jax.tree.leaves(trainable_params)}
+    ptrs = set()
     for leaf in jax.tree.leaves(trainable_params):
-        if hasattr(leaf, "unsafe_buffer_pointer"):
-            try:
-                seen.add(leaf.unsafe_buffer_pointer())
-            except Exception:  # non-addressable / sharded arrays
-                pass
+        try:
+            ptrs.add(leaf.unsafe_buffer_pointer())
+        except Exception:  # non-addressable / sharded / axon-PJRT
+            pass
 
     def unalias(x):
+        if id(x) in ids:
+            return x.copy()
         try:
-            if hasattr(x, "unsafe_buffer_pointer") and \
-                    x.unsafe_buffer_pointer() in seen:
+            if x.unsafe_buffer_pointer() in ptrs:
                 return x.copy()
         except Exception:
             pass

@@ -158,10 +158,9 @@ def train(transformer, branch, vae, scheduler, frozen_params: dict,
 
     if initial_trainable is None:
         raise ValueError("initial_trainable (branch params or LoRA tree) required")
-    # Own the buffers: the train step DONATES its state, which would delete
-    # the caller's tree on backends that honor donation (TPU, CPU). A jitted
-    # identity (no donation) materializes fresh outputs.
-    initial_trainable = jax.jit(lambda t: t)(initial_trainable)
+    # init_branch_train_state re-materializes the tree through a jitted
+    # identity, so the donated state owns its buffers and the caller's tree
+    # survives the first donated step.
     state = init_branch_train_state(initial_trainable, optimizer)
 
     start_step = 0
