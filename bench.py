@@ -11,10 +11,11 @@ Measures the real hot path on the attached TPU chip:
    (d=3072, 48 heads, 17,776-token joint sequence, CFG batch 2,
    Pallas flash attention) — measured, not extrapolated; params come from
    one jitted init program so the heap stays unfragmented (see CLAUDE.md)
- - headline = the production serving config (int8 W8A8 projections +
-   int8-QK^T flash attention), quality-gated at flagship dims by
-   tools/gate_int8_flagship.py (latent PSNR 67.9 dB vs bf16); the bf16
-   bit-parity path is attached as detail.bf16_parity_mode
+ - headline = the FASTEST quality-gated serving config, chosen from the
+   committed GATE_int8.json artifact (tools/gate_int8_flagship.py --deep):
+   int8 W8A8 + int8-QK^T flash + static calibrated activation scales when
+   that leg is gated (calib_ascales.npz), else dynamic int8, else bf16;
+   the bf16 bit-parity path is attached as detail.bf16_parity_mode
  - VAE decode of the 13-latent-frame 60x90 grid (tiled)
 
 clip time = 50 * step_time + decode_time; metric = clips/min/chip.
@@ -63,6 +64,12 @@ def main():
                          "int8 linears (kills the per-token quantize reduce; "
                          "perf A/B only — real deployments calibrate per "
                          "layer, videopainter_tpu.quantize.attach_static_ascale)")
+    ap.add_argument("--int8-scales", default=None,
+                    help="attach CALIBRATED per-layer static activation "
+                         "scales from this .npz (quantize.load_ascales; "
+                         "produced by tools/gate_int8_flagship.py "
+                         "--ascale --save-scales). The deployable static-"
+                         "ascale serving config.")
     ap.add_argument("--no-resident", action="store_true",
                     help="disable the resident padded sequence (per-layer "
                          "attention padding instead) — perf A/B, exact "
@@ -83,6 +90,51 @@ def _emit(obj):
     every emission strictly improves on the previous one and a kill at any
     point still leaves the best-so-far headline on record."""
     print(json.dumps(obj), flush=True)
+
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _gated_serving_rungs():
+    """Serving rungs whose quality gate is ON RECORD, fastest first.
+
+    Reads GATE_int8.json (written on-chip by tools/gate_int8_flagship.py
+    --deep [--ascale]). A rung is eligible when its latent PSNR vs the bf16
+    trajectory clears MIN_PSNR_DB and, when the decoded-pixel leg exists,
+    pixel PSNR clears it too. The static-ascale rung additionally requires
+    the calibrated-scales artifact (calib_ascales.npz, provenance-stamped).
+    No artifact / failed gate -> [] and the ladder starts at bf16 — the
+    headline is never an ungated quantized mode."""
+    MIN_PSNR_DB = 35.0
+    gate_path = os.path.join(_REPO, "GATE_int8.json")
+    scales_path = os.path.join(_REPO, "calib_ascales.npz")
+    try:
+        with open(gate_path) as f:
+            gate = json.load(f)
+    except Exception:
+        return [], {"status": "missing",
+                    "note": "GATE_int8.json absent — bf16 headline"}
+    latent = gate.get("latent", {}).get("psnr_db", 0.0)
+    pixel = gate.get("pixel", {}).get("psnr_db")
+    info = {"status": "ok", "path": "GATE_int8.json",
+            "steps": gate.get("steps"), "layers": gate.get("layers"),
+            "latent_psnr_db": latent, "pixel_psnr_db": pixel,
+            "min_psnr_db": MIN_PSNR_DB}
+    int8_ok = latent >= MIN_PSNR_DB and (pixel is None or pixel >= MIN_PSNR_DB)
+    rungs = []
+    sa = gate.get("static_ascale") or {}
+    sa_psnr = sa.get("latent_psnr_vs_bf16_db", 0.0)
+    if int8_ok and sa_psnr >= MIN_PSNR_DB and os.path.exists(scales_path):
+        info["static_ascale_psnr_db"] = sa_psnr
+        rungs.append(("int8_ascale_serving_42L",
+                      ["--layers", "42", "--int8", "--int8-attn",
+                       "--int8-scales", scales_path]))
+    if int8_ok:
+        rungs.append(("int8_serving_42L",
+                      ["--layers", "42", "--int8", "--int8-attn"]))
+    if not rungs:
+        info["status"] = "gate below threshold"
+    return rungs, info
 
 
 def auto_main(args):
@@ -141,16 +193,19 @@ def auto_main(args):
     metric = "clips/min/chip (49f x 480x720, 50-step dual-stream inpaint)"
 
     # --- rung 1: the serving headline, self-contained (incl. VAE decode) ---
-    # int8 W8A8 projections + int8-QK^T flash is the production config,
-    # quality-gated at flagship dims (tools/gate_int8_flagship.py / GATE_int8
-    # artifact). Run it FIRST so a driver kill after one rung still records
-    # the headline. Fall back down the ladder if it fails.
+    # The headline is the FASTEST serving config whose quality gate has been
+    # run and recorded (GATE_int8.json, written on-chip by
+    # tools/gate_int8_flagship.py --deep [--ascale]): int8 + static
+    # calibrated activation scales if that leg is gated and calib_ascales.npz
+    # is present, else dynamic int8, else bf16. Run it FIRST so a driver kill
+    # after one rung still records the headline; fall down the ladder on
+    # failure.
     serving_note = (
         "int8 W8A8 block projections + int8-QK^T flash attention; "
         "flagship-dims quality gate vs bf16 trajectory: "
         "tools/gate_int8_flagship.py (GATE_int8.json)")
-    ladder = [
-        ("int8_serving_42L", ["--layers", "42", "--int8", "--int8-attn"]),
+    gated_rungs, gate_info = _gated_serving_rungs()
+    ladder = gated_rungs + [
         ("bf16_batched_42L", ["--layers", "42"]),
         ("bf16_seqcfg_42L", ["--layers", "42", "--seq-cfg"]),
         ("bf16_21L", ["--layers", "21"]),
@@ -173,8 +228,12 @@ def auto_main(args):
                "detail": {"rungs": rung_log}})
         return
     headline["detail"]["headline_rung"] = headline_name
-    if headline_name == "int8_serving_42L":
+    if headline_name == "int8_ascale_serving_42L":
+        headline["detail"]["serving_config"] = serving_note + \
+            " + STATIC calibrated activation scales (calib_ascales.npz)"
+    elif headline_name == "int8_serving_42L":
         headline["detail"]["serving_config"] = serving_note
+    headline["detail"]["quality_gate"] = gate_info
     headline["detail"]["rungs"] = rung_log
     _emit(headline)  # first artifact is on record NOW
     vae_s = headline["detail"].get("vae_decode_s") or 0.0
@@ -203,20 +262,26 @@ def auto_main(args):
         _emit(headline)
         return headline["detail"].get(key)
 
-    if headline_name == "int8_serving_42L":
-        # headline already is the serving config; attach bf16 parity + extras
+    if headline_name in ("int8_ascale_serving_42L", "int8_serving_42L"):
+        # headline already is a serving config; attach bf16 parity + extras
         attach("bf16_parity_mode", "bf16_batched_42L", [],
                "full-precision bf16 path (golden-parity mode)")
         attach("int8_proj_only_mode", "int8_proj_42L", ["--int8"],
                "W8A8 projections with bf16 attention")
-        # static activation scales: perf A/B for the calibrated mode — the
-        # graph is identical for uniform vs calibrated [L] scales, so a
-        # uniform value measures the speedup; quality is gated separately
-        # (tools/gate_int8_flagship.py --ascale)
-        attach("int8_static_ascale_mode", "int8_ascale_42L",
-               ["--int8", "--int8-attn", "--int8-ascale", "0.02"],
-               "serving config with STATIC activation scales (per-token "
-               "quantize reduce removed; quantize.attach_static_ascale)")
+        if headline_name == "int8_ascale_serving_42L":
+            attach("int8_dynamic_mode", "int8_serving_42L",
+                   ["--int8", "--int8-attn"],
+                   "serving config with per-token DYNAMIC activation "
+                   "quantize (no calibrated scales needed)")
+        else:
+            # static activation scales: perf A/B for the calibrated mode —
+            # the graph is identical for uniform vs calibrated [L] scales, so
+            # a uniform value measures the speedup; quality is gated
+            # separately (tools/gate_int8_flagship.py --ascale)
+            attach("int8_static_ascale_mode", "int8_ascale_42L",
+                   ["--int8", "--int8-attn", "--int8-ascale", "0.02"],
+                   "serving config with STATIC activation scales (per-token "
+                   "quantize reduce removed; quantize.attach_static_ascale)")
     else:
         # bf16 (or smaller) headline landed first; try to upgrade to the
         # serving config if its 42L rung fits in the remaining budget
@@ -301,7 +366,14 @@ def measure_rung(args):
         # chip — the int8 copy can only be built if sources are freed as it goes
         params = {k: quantize_transformer_int8(v, free_source=True)
                   for k, v in params.items()}
-        if args.int8_ascale:
+        if args.int8_scales:
+            from videopainter_tpu.quantize import (attach_static_ascale,
+                                                   load_ascales)
+
+            scales = load_ascales(args.int8_scales)
+            params = {k: attach_static_ascale(v, scales[k])
+                      if k in scales else v for k, v in params.items()}
+        elif args.int8_ascale:
             from videopainter_tpu.quantize import attach_static_ascale
 
             params = {k: attach_static_ascale(v, args.int8_ascale)
@@ -430,6 +502,8 @@ def measure_rung(args):
             "cfg_mode": "sequential" if args.seq_cfg else "batched",
             "int8": args.int8,
             "int8_attn": args.int8_attn,
+            "int8_scales": (os.path.basename(args.int8_scales)
+                            if args.int8_scales else None),
             # flash block sweep history (round 1, S=17776 d=64): best 512x2048
             # @ ~55-61 TF/s; tried 256x1024/512x1024/512x4096/808x1616/
             # 1024x2048 (slower), 1024x4096/2048x2048/1616x1616 (fail compile/
