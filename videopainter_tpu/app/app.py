@@ -71,6 +71,17 @@ class AppSession:
     first_frame_inpaint_fn: Optional[Callable] = None
     _shared_features: dict = field(default_factory=dict)
 
+    def use_self_first_frame_inpaint(self, **kw) -> None:
+        """Pre-inpaint frame 0 with the framework's own image-mode (T=1)
+        pipeline — the offline analog of the reference's FluxFill step
+        (app/utils.py:86-160). kw forwards to make_self_first_frame_inpaint
+        (e.g. num_inference_steps, use_flash)."""
+        from ..infer.first_frame import make_self_first_frame_inpaint
+
+        self.first_frame_inpaint_fn = make_self_first_frame_inpaint(
+            self.pipe, self.pipe_params,
+            encode_prompt_fn=self.encode_prompt_fn, **kw)
+
     # -- step 1: load video (reference app.py:354-401) ----------------------
     def load_video(self, path_or_array) -> np.ndarray:
         from ..training.data import read_video_frames, resize_video

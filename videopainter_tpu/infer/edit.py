@@ -42,9 +42,33 @@ def generate_edit(args, instruction: str,
     import jax
     import jax.numpy as jnp
 
-    llm_fn = llm_fn or default_llm
+    if llm_fn is None:
+        print("[edit] WARNING: no llm_fn hook — falling back to splicing the "
+              "instruction into the caption (default_llm). The result is "
+              "caption-conditioned inpainting, not instruction-following "
+              "editing; plug an LLM via edit_bench_main(llm_fn=...).")
+        llm_fn = default_llm
     pipe, params = build_pipeline(args.model_path, args.inpainting_branch,
                                   args.id_adapter, args.dtype, args.long_video)
+    if (first_frame_edit_fn is None
+            and getattr(args, "first_frame_inpaint", "none") == "self"):
+        # self-served FluxFill analog (see infer/first_frame.py): inpaint
+        # frame 0 with the framework's own models at T=1
+        import jax.numpy as jnp
+
+        from .first_frame import make_self_first_frame_inpaint
+
+        first_frame_edit_fn = make_self_first_frame_inpaint(
+            pipe, params, guidance_scale=args.guidance_scale, seed=args.seed,
+            use_flash=getattr(args, "use_flash", False),
+            sequential_cfg=getattr(args, "sequential_cfg", False),
+            dtype={"bfloat16": jnp.bfloat16,
+                   "float32": jnp.float32}[args.dtype])
+    elif first_frame_edit_fn is None:
+        print("[edit] WARNING: no first-frame editor — frame 0 stays masked. "
+              "Pass --first_frame_inpaint self to pre-inpaint it with the "
+              "framework's own image-mode pipeline (the reference uses "
+              "FluxFill here, infer/inpaint.py:119-194).")
     video_u8, masks, caption = read_video_with_mask(
         args.meta_file_path, args.video_id, args.data_root,
         args.height, args.width, args.fps)

@@ -208,6 +208,29 @@ def generate_video(args, first_frame_inpaint_fn: Optional[Callable] = None,
     if args.first_frame_gt:
         masks_f[0] = 0.0
     first = video01[0] * (1 - masks_f[0][..., None])
+    if (first_frame_inpaint_fn is None
+            and getattr(args, "first_frame_inpaint", "none") == "self"):
+        # self-served FluxFill analog: the framework's own image-mode
+        # inpaint at T=1 (reference pre-inpaints frame 0 with FluxFill,
+        # infer/inpaint.py:119-194)
+        from .first_frame import make_self_first_frame_inpaint
+
+        import jax.numpy as jnp
+
+        ff_embeds = None
+        if args.prompt_embeds:
+            from ..models.text_encoder import load_prompt_embeds
+
+            ff_embeds = jnp.asarray(load_prompt_embeds(args.prompt_embeds))
+        first_frame_inpaint_fn = make_self_first_frame_inpaint(
+            pipe, params, guidance_scale=args.guidance_scale,
+            seed=args.seed, sequential_cfg=getattr(args, "sequential_cfg",
+                                                   False),
+            use_flash=("int8" if getattr(args, "int8_attn", False)
+                       else getattr(args, "use_flash", False)),
+            dtype={"bfloat16": jnp.bfloat16,
+                   "float32": jnp.float32}[args.dtype],
+            prompt_embeds=ff_embeds)
     if first_frame_inpaint_fn is not None:  # FluxFill hook (reference :389-408)
         first = first_frame_inpaint_fn(first, masks_f[0], prompt)
 
@@ -285,6 +308,13 @@ def get_args(argv=None):
     p.add_argument("--replace_gt", action="store_true")
     p.add_argument("--mask_add", action="store_true")
     p.add_argument("--first_frame_gt", action="store_true")
+    p.add_argument("--first_frame_inpaint", choices=["none", "self"],
+                   default="none",
+                   help="'self' pre-inpaints frame 0 with the framework's "
+                        "own image-mode (T=1) inpaint before propagating — "
+                        "the offline analog of the reference's FluxFill "
+                        "step (infer/inpaint.py:119-194); an explicit "
+                        "first_frame_inpaint_fn hook still takes precedence")
     p.add_argument("--long_video", action="store_true")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--use_flash", action="store_true",
