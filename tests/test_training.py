@@ -51,6 +51,46 @@ def test_mask_transforms_all_families():
             assert (out[0] == out[-1]).all()
 
 
+def test_data_reshape_flip_idtoken():
+    """Reference long-tail data flags: --video_reshape_mode center/random
+    crops (masks follow the window), --random_flip flips video+masks
+    together, --id_token prepends to prompts."""
+    from videopainter_tpu.training.data import (DataConfig, InpaintingCollator,
+                                                reshape_video)
+
+    rng = np.random.default_rng(0)
+    video = (np.arange(2 * 32 * 48 * 3) % 255).reshape(2, 32, 48, 3).astype(np.uint8)
+    masks = np.zeros((2, 32, 48), np.uint8)
+    masks[:, 8:16, 12:24] = 1
+    for mode in ["resize", "center", "random"]:
+        v, m = reshape_video(video, masks, 16, 16, mode, rng)
+        assert v.shape == (2, 16, 16, 3) and m.shape == (2, 16, 16), mode
+    # center crop preserves pixel values (no interpolation on the crop axis)
+    v, m = reshape_video(video, masks, 24, 36, "center", rng)
+    assert v.shape == (2, 24, 36, 3)
+
+    cfg = DataConfig(height=32, width=48, max_num_frames=5, random_flip=True,
+                     id_token="TOK", mask_transform_prob=0.0,
+                     first_frame_gt=False, seed=0)
+    coll = InpaintingCollator(cfg)
+    # force the flip branch deterministically by trying until it happens
+    flipped = False
+    sample = {"video": video[:2], "masks": masks[:2], "caption": "a cat"}
+    for _ in range(20):
+        out = coll([sample])
+        assert out["prompts"][0].startswith("TOK ")
+        v01 = (out["pixel_values"][0] + 1) * 127.5
+        if not np.allclose(v01[0], video[0].astype(np.float32), atol=0.6):
+            # flipped: must equal the horizontally mirrored source
+            np.testing.assert_allclose(v01[0], video[0, :, ::-1].astype(np.float32),
+                                       atol=0.6)
+            np.testing.assert_array_equal(out["masks"][0, 0] > 0.5,
+                                          masks[0, :, ::-1] > 0)
+            flipped = True
+            break
+    assert flipped, "random_flip never triggered in 20 draws (p=0.5 each)"
+
+
 def test_mask_transform_empty_mask_passthrough():
     vm = np.zeros((2, 64, 64), np.uint8)
     cfg = MaskTransformConfig(p_brush=0, p_rect=1, p_ellipse=0, p_circle=0,
@@ -218,6 +258,117 @@ def test_lora_merge_and_interop():
     for tgt in lora:
         np.testing.assert_allclose(np.asarray(lora[tgt]["lora_A"]),
                                    back[tgt]["lora_A"], rtol=1e-6, atol=1e-7)
+
+
+def test_precomputed_latents_bit_identical(tiny_stack):
+    """The precomputed-latents fast path (posterior moments in the batch)
+    must reproduce the inline-encode step's loss with the same rng — the
+    moments ARE the encode output; only the sampling site moves."""
+    from videopainter_tpu.training import encode_batch_latent_moments
+
+    transformer, branch, vae, sched, tp, bp, vp = tiny_stack
+    cfg = BranchTrainConfig(height=64, width=96, mask_add=True, remat=False)
+    optimizer = make_optimizer(lr=1e-3)
+    frozen = {"transformer": tp, "vae": vp}
+    batch = make_batch()
+    step = make_branch_train_step(transformer, branch, vae, sched, optimizer,
+                                  cfg)
+    s0 = init_branch_train_state(bp, optimizer)
+    _, m_inline = step(s0, frozen, batch, jax.random.PRNGKey(0))
+    pre = encode_batch_latent_moments(vae, vp, batch)
+    assert "video_latent_mean" in pre and "cond_latent_logvar" in pre
+    s1 = init_branch_train_state(bp, optimizer)
+    _, m_pre = step(s1, frozen, pre, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(m_pre["total_loss"]),
+                               float(m_inline["total_loss"]),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_lora_attach_matches_merge():
+    """Additive LoRA (attach_lora -> ops.basic.linear delta) computes the
+    same forward as folding W + (alpha/r)A@B into the kernels."""
+    from videopainter_tpu.models.lora import attach_lora
+
+    transformer = CogVideoXTransformer3D(DIT_CFG)
+    tp = transformer.init(jax.random.PRNGKey(0))
+    lora = init_lora_params(jax.random.PRNGKey(1), tp, rank=4)
+    lora = jax.tree.map(lambda x: jnp.asarray(np.random.RandomState(1)
+                                              .randn(*x.shape), x.dtype) * 0.05,
+                        lora)
+    rng = np.random.RandomState(2)
+    h = jnp.asarray(rng.rand(1, 3, 8, 12, 32), jnp.float32) * 2 - 1
+    enc = jnp.asarray(rng.rand(1, 5, 12), jnp.float32)
+    t = jnp.asarray([7])
+    out_m = transformer.apply(merge_lora(tp, lora, alpha=2.0, rank=4),
+                              h, enc, t).sample
+    out_a = transformer.apply(attach_lora(tp, lora, alpha=2.0, rank=4),
+                              h, enc, t).sample
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_m),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_lora_train_step_int8_backbone(tiny_stack):
+    """QLoRA config: FROZEN int8 backbone + trainable LoRA — gradients reach
+    A/B through the int8 linears' STE and the additive delta."""
+    from videopainter_tpu.quantize import quantize_transformer_int8
+
+    transformer_rs = CogVideoXTransformer3D(DIT_CFG_RS)
+    _, branch, vae, sched, tp, bp, vp = tiny_stack
+    cfg = BranchTrainConfig(height=64, width=96, mask_add=True, remat=False,
+                            lora_rank=4, lora_alpha=2.0)
+    lora = init_lora_params(jax.random.PRNGKey(3), tp, rank=4)
+    optimizer = make_optimizer(lr=1e-3)
+    state = init_branch_train_state(lora, optimizer)
+    step = make_lora_train_step(transformer_rs, branch, vae, sched,
+                                optimizer, cfg)
+    frozen = {"transformer": quantize_transformer_int8(tp),
+              "vae": vp, "branch": bp}
+    state1, m = step(state, frozen, make_batch(), jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["total_loss"]))
+    assert float(m["gradient_norm_before_clip"]) > 0
+    assert float(jnp.abs(state1.trainable["to_q"]["lora_B"]).max()) > 0
+
+
+def test_int8_ste_convergence_matches_fp32(tiny_stack):
+    """Convergence gate for the QLoRA-style chip config: training the branch
+    through a FROZEN int8-STE backbone must follow the fp32 backbone's
+    optimization — same overfit batch + same per-step keys, losses decrease
+    in both runs and land close, and the branch-param updates point the same
+    way (cosine similarity of the deltas)."""
+    from videopainter_tpu.quantize import quantize_transformer_int8
+
+    transformer, branch, vae, sched, tp, bp, vp = tiny_stack
+    cfg = BranchTrainConfig(height=64, width=96, mask_add=True, remat=False)
+    batch = make_batch()
+    n_steps = 8
+
+    def run(frozen_tf):
+        optimizer = make_optimizer(lr=1e-3)
+        state = init_branch_train_state(bp, optimizer)
+        step = make_branch_train_step(transformer, branch, vae, sched,
+                                      optimizer, cfg)
+        frozen = {"transformer": frozen_tf, "vae": vp}
+        losses = []
+        for i in range(n_steps):
+            # fixed key = fixed (noise, timestep): pure overfit descent
+            state, m = step(state, frozen, batch, jax.random.PRNGKey(7))
+            losses.append(float(m["total_loss"]))
+        delta = jax.tree.map(lambda a, b: np.asarray(a - b).ravel(),
+                             state.trainable, bp)
+        return losses, np.concatenate(jax.tree.leaves(delta))
+
+    losses_fp32, d_fp32 = run(tp)
+    losses_int8, d_int8 = run(quantize_transformer_int8(tp))
+    # both overfit runs descend
+    assert losses_fp32[-1] < losses_fp32[0], losses_fp32
+    assert losses_int8[-1] < losses_int8[0], losses_int8
+    # final losses agree within the quantization error budget
+    rel = abs(losses_int8[-1] - losses_fp32[-1]) / abs(losses_fp32[-1])
+    assert rel < 0.1, (losses_fp32[-1], losses_int8[-1])
+    # the STE gradients drive the SAME parameter update direction
+    cos = float(np.dot(d_fp32, d_int8) /
+                (np.linalg.norm(d_fp32) * np.linalg.norm(d_int8) + 1e-12))
+    assert cos > 0.9, cos
 
 
 def test_checkpoint_save_rotate_resume(tmp_path):

@@ -34,7 +34,9 @@ def init_lora_params(key, base_params: dict, *, rank: int = 256,
     out = {}
     keys = jax.random.split(key, len(LORA_TARGETS))
     for k, tgt in zip(keys, LORA_TARGETS):
-        kern = blocks[tgt]["kernel"]  # [L, d_in, d_out]
+        tp = blocks[tgt]
+        # kernel_q: int8-quantized backbone (same [L, d_in, d_out] shape)
+        kern = tp["kernel"] if "kernel" in tp else tp["kernel_q"]
         L, d_in, d_out = kern.shape
         bound = 1.0 / (d_in ** 0.5)
         a = jax.random.uniform(k, (L, d_in, rank), minval=-bound, maxval=bound).astype(dtype)
@@ -57,6 +59,36 @@ def merge_lora(base_params: dict, lora_params: dict, *, alpha: float,
     blocks = dict(params["blocks"])
     blocks["attn1"] = attn
     params = dict(params)
+    params["blocks"] = blocks
+    return params
+
+
+def attach_lora(base_params: dict, lora_params: dict, *, alpha: float,
+                rank: int, scale: float = 1.0) -> dict:
+    """Thread (A, B) into the attn param tree as `lora` sub-entries so
+    ops.basic.linear ADDS scale*(alpha/r)*(x@A)@B after each base projection.
+
+    Same math as merge_lora, but structural: no [L, d, d] merged-kernel
+    copies per call (merge is ~2.4 GB of transients at 42 layers), and it
+    works on an int8-quantized backbone where there is no `kernel` to merge
+    into (QLoRA-style training/serving). The per-target `scale` leaf is
+    stacked [L] so the tree stays scannable. Attach AFTER
+    quantize_transformer_int8 (quantize rebuilds the linear dicts) and do
+    not combine with fuse_qkv_projections."""
+    if "to_qkv" in base_params["blocks"]["attn1"]:
+        raise ValueError("attach_lora targets to_q/to_k/to_v/to_out — do not "
+                         "fuse QKV projections on a LoRA-adapted tree")
+    factor = scale * alpha / rank
+    params = dict(base_params)
+    blocks = dict(params["blocks"])
+    attn = dict(blocks["attn1"])
+    for tgt, ab in lora_params.items():
+        n_layers = ab["lora_A"].shape[0]
+        tp = dict(attn[tgt])
+        tp["lora"] = {"lora_A": ab["lora_A"], "lora_B": ab["lora_B"],
+                      "scale": jnp.full((n_layers,), factor, jnp.float32)}
+        attn[tgt] = tp
+    blocks["attn1"] = attn
     params["blocks"] = blocks
     return params
 

@@ -59,10 +59,21 @@ def linear(p: dict, x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
     profile. Opt-in via videopainter_tpu.quantize.quantize_params_int8.
     """
     if "kernel_q" in p:
-        return _linear_int8(p, x)
-    y = jnp.dot(x, p["kernel"].astype(x.dtype), precision=precision)
-    if "bias" in p and p["bias"] is not None:
-        y = y + p["bias"].astype(y.dtype)
+        y = _linear_int8(p, x)
+    else:
+        y = jnp.dot(x, p["kernel"].astype(x.dtype), precision=precision)
+        if "bias" in p and p["bias"] is not None:
+            y = y + p["bias"].astype(y.dtype)
+    if "lora" in p:
+        # Additive LoRA (models/lora.attach_lora): y += scale*(x@A)@B. Exactly
+        # the merged-kernel math, but it never materializes W+ΔW — so it
+        # composes with the int8 path above (QLoRA: frozen int8 base + bf16
+        # low-rank delta, reference train_..._resample.py's LoraConfig).
+        lp = p["lora"]
+        delta = jnp.dot(jnp.dot(x, lp["lora_A"].astype(x.dtype),
+                                precision=precision),
+                        lp["lora_B"].astype(x.dtype), precision=precision)
+        y = y + delta * lp["scale"].astype(y.dtype)
     return y
 
 

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..models.lora import merge_lora
+from ..models.lora import attach_lora
 from ..pipelines.common import prepare_rope, resize_mask_to_latent
 
 
@@ -138,9 +138,28 @@ def _make_prepare(vae, scheduler, cfg):
         ks = jax.random.split(rng, 8)
         noisy_images = _sigma_noise(video[:, :1], ks[0], ks[1])
         image_latents = vae.encode(vae_params, noisy_images).sample(ks[2]) * sf
-        model_input = vae.encode(vae_params, video).sample(ks[3]) * sf
-        cond_latents = vae.encode(
-            vae_params, batch["conditioning_pixel_values"]).sample(ks[4]) * sf
+        # Precomputed-latents fast path: with the posterior MOMENTS in the
+        # batch (encode_batch_latent_moments / the trainer's latent cache),
+        # the two 49-frame VAE encodes — ~5 s of a 22.45 s chip step — are
+        # skipped while the per-step posterior SAMPLE stays bit-identical
+        # (same moments, same key). The sigma-noised first-frame encode
+        # cannot be precomputed (sigma is drawn per step) but is 1-frame
+        # cheap.
+        from ..models.vae import DiagonalGaussian
+
+        if "video_latent_mean" in batch:
+            model_input = DiagonalGaussian(
+                batch["video_latent_mean"],
+                batch["video_latent_logvar"]).sample(ks[3]) * sf
+        else:
+            model_input = vae.encode(vae_params, video).sample(ks[3]) * sf
+        if "cond_latent_mean" in batch:
+            cond_latents = DiagonalGaussian(
+                batch["cond_latent_mean"],
+                batch["cond_latent_logvar"]).sample(ks[4]) * sf
+        else:
+            cond_latents = vae.encode(
+                vae_params, batch["conditioning_pixel_values"]).sample(ks[4]) * sf
         noisy, image_latents, branch_cond, mask_lat, timesteps = _post(
             image_latents, model_input, cond_latents, batch["masks"],
             ks[5], ks[6], ks[7])
@@ -148,6 +167,23 @@ def _make_prepare(vae, scheduler, cfg):
                 timesteps)
 
     return prepare
+
+
+def encode_batch_latent_moments(vae, vae_params, batch: Dict) -> Dict:
+    """Precompute the VAE posterior moments for a batch, enabling the
+    precomputed-latents train-step fast path (see _make_prepare). The
+    returned batch adds video/cond latent mean+logvar; training then samples
+    the SAME posterior per step, so the loss sequence is bit-identical to
+    encoding inline with the same rng. Cache only when the pixels feeding an
+    encode are step-deterministic: the GT video always is; the MASKED video
+    is not when mask augmentation re-randomizes per step
+    (mask_transform_prob > 0) — drop cond moments in that case."""
+    out = dict(batch)
+    d = vae.encode(vae_params, batch["pixel_values"])
+    out["video_latent_mean"], out["video_latent_logvar"] = d.mean, d.logvar
+    d = vae.encode(vae_params, batch["conditioning_pixel_values"])
+    out["cond_latent_mean"], out["cond_latent_logvar"] = d.mean, d.logvar
+    return out
 
 
 def _x0_loss(scheduler, model_output, noisy_video_latents, timesteps,
@@ -246,8 +282,11 @@ def make_lora_train_step(transformer, branch, vae, scheduler, optimizer,
         samples = jax.lax.stop_gradient(samples)
 
         def loss_fn(lora_params):
-            merged = merge_lora(frozen_models["transformer"], lora_params,
-                                alpha=cfg.lora_alpha, rank=cfg.lora_rank)
+            # additive attach (not merge): no [L, d, d] merged-kernel copies
+            # inside the grad program, and the frozen backbone may be int8
+            # (QLoRA) — gradients reach A/B through ops.basic.linear's delta
+            merged = attach_lora(frozen_models["transformer"], lora_params,
+                                 alpha=cfg.lora_alpha, rank=cfg.lora_rank)
             out = transformer.apply(
                 merged, noisy_model_input, prompt_embeds, timesteps,
                 rope=rope, branch_block_samples=samples,
