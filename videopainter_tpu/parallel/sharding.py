@@ -42,6 +42,29 @@ _BLOCK_RULES = {
     ("ff", "proj_out", "kernel"): P(None, M, None),
 }
 
+# int8-quantized linears (quantize.quantize_transformer_int8): kernel_q keeps
+# the [L, in, out] kernel layout; kscale is per-OUT-channel [L, out], so it
+# shards with the out axis (and stays replicated where `out` is the
+# replicated axis, i.e. the row-parallel to_out / ff.proj_out). The exactness
+# argument for TP int8: the per-token dynamic amax reduces over the full
+# hidden axis (GSPMD inserts the max-collective when that axis is sharded),
+# and the row-parallel partial int32 sums are scaled per shard before the
+# psum — scale-then-add == add-then-scale since kscale columns are complete
+# on every shard. `ascale` (static [L]) is always replicated.
+for _tgt, _kspec, _sspec in [
+        (("attn1", "to_q"), P(None, None, M), P(None, M)),
+        (("attn1", "to_k"), P(None, None, M), P(None, M)),
+        (("attn1", "to_v"), P(None, None, M), P(None, M)),
+        (("attn1", "to_qkv"), P(None, None, M), P(None, M)),
+        (("attn1", "to_out"), P(None, M, None), P()),
+        (("ff", "proj_in"), P(None, None, M), P(None, M)),
+        (("ff", "proj_out"), P(None, M, None), P())]:
+    _BLOCK_RULES[_tgt + ("kernel_q",)] = _kspec
+    _BLOCK_RULES[_tgt + ("kscale",)] = _sspec
+# fused-QKV bf16 kernel (fuse_qkv_projections): column-parallel like q/k/v
+_BLOCK_RULES[("attn1", "to_qkv", "kernel")] = P(None, None, M)
+_BLOCK_RULES[("attn1", "to_qkv", "bias")] = P(None, M)
+
 
 def _spec_for_path(path) -> P:
     keys = tuple(getattr(k, "key", None) for k in path)

@@ -53,6 +53,14 @@ class DataConfig:
     mask_background: bool = False
     proportion_empty_prompts: float = 0.0
     seed: int = 0
+    # reference long-tail flags (get_args train_...video.py:120-650)
+    skip_frames_start: int = 0   # drop intro frames before fps-downsampling
+    skip_frames_end: int = 0     # drop outro frames
+    random_flip: bool = False    # horizontal flip augmentation (video+masks)
+    video_reshape_mode: str = "resize"  # resize | center | random (crop)
+    video_column: str = "path"
+    caption_column: str = "caption"
+    id_token: Optional[str] = None  # prepended to every prompt
 
 
 def read_video_frames(path: str, start: int = 0, end: Optional[int] = None,
@@ -93,6 +101,46 @@ def resize_video(video: np.ndarray, height: int, width: int) -> np.ndarray:
                      for f in video])
 
 
+def reshape_video(video: np.ndarray, masks: Optional[np.ndarray],
+                  height: int, width: int, mode: str,
+                  rng: Optional[np.random.Generator] = None):
+    """--video_reshape_mode: 'resize' stretches; 'center'/'random' scale the
+    short side then crop (reference _resize_for_rectangle_crop,
+    train_...video.py:826-858). Masks crop with the same window
+    (nearest-resized)."""
+    if mode == "resize" or (video.shape[1] == height and video.shape[2] == width):
+        out_v = resize_video(video, height, width)
+        out_m = masks
+        if masks is not None and (masks.shape[1] != height or masks.shape[2] != width):
+            out_m = np.stack([cv2.resize(m.astype(np.uint8), (width, height),
+                                         interpolation=cv2.INTER_NEAREST)
+                              for m in masks])
+        return out_v, out_m
+    h0, w0 = video.shape[1:3]
+    scale = max(height / h0, width / w0)
+    nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
+    v = np.stack([cv2.resize(f, (nw, nh), interpolation=cv2.INTER_AREA)
+                  for f in video])
+    m = None
+    if masks is not None:
+        m = np.stack([cv2.resize(mk.astype(np.uint8), (nw, nh),
+                                 interpolation=cv2.INTER_NEAREST)
+                      for mk in masks])
+    if mode == "center":
+        top, left = (nh - height) // 2, (nw - width) // 2
+    elif mode == "random":
+        r = rng or np.random.default_rng()
+        top = int(r.integers(0, nh - height + 1))
+        left = int(r.integers(0, nw - width + 1))
+    else:
+        raise ValueError(f"unknown video_reshape_mode {mode!r}: "
+                         "resize|center|random")
+    v = v[:, top:top + height, left:left + width]
+    if m is not None:
+        m = m[:, top:top + height, left:left + width]
+    return v, m
+
+
 class VideoInpaintingDataset:
     """CSV-driven dataset. Each sample: decoded clip + per-frame binary masks.
 
@@ -105,10 +153,11 @@ class VideoInpaintingDataset:
         import pandas as pd
 
         self.cfg = cfg
+        self.rng = np.random.default_rng(cfg.seed)
         df = pd.read_csv(cfg.meta_file_path)
         rows = []
         for _, r in df.iterrows():
-            caption = str(r.get("caption", ""))
+            caption = str(r.get(cfg.caption_column, ""))
             if len(caption) <= cfg.min_caption_len:
                 continue
             fps = float(r.get("fps", cfg.fps))
@@ -118,7 +167,8 @@ class VideoInpaintingDataset:
                 dur = (end - start) / fps
                 if not (cfg.min_sec <= dur <= cfg.max_sec):
                     continue
-            rows.append(dict(path=str(r["path"]), fps=fps, start=start, end=end,
+            rows.append(dict(path=str(r[cfg.video_column]), fps=fps,
+                             start=start, end=end,
                              mask_id=r.get("mask_id", 0),
                              mask_path=r.get("mask_path", None),
                              caption=caption))
@@ -133,8 +183,16 @@ class VideoInpaintingDataset:
         path = os.path.join(cfg.instance_data_root, r["path"]) \
             if cfg.instance_data_root else r["path"]
         stride = max(1, int(round(r["fps"] / cfg.fps))) if r["fps"] else 1
-        video = read_video_frames(path, r["start"] or 0, r["end"], stride)
-        video = resize_video(video, cfg.height, cfg.width)
+        start = (r["start"] or 0) + cfg.skip_frames_start
+        end = r["end"]
+        if end is not None and cfg.skip_frames_end:
+            end = max(end - cfg.skip_frames_end, start + 1)
+        video = read_video_frames(path, start, end, stride)
+        if end is None and cfg.skip_frames_end:
+            # open-ended clip: trim the decoded tail (skip counted in source
+            # frames, so divide by the fps-downsample stride)
+            drop = -(-cfg.skip_frames_end // stride)
+            video = video[:max(len(video) - drop, 1)]
 
         mask_path = r["mask_path"] or os.path.join(os.path.dirname(path),
                                                    "all_masks.npz")
@@ -143,10 +201,9 @@ class VideoInpaintingDataset:
             masks = npz[key]
         if masks.ndim == 4:
             masks = masks[..., 0]
-        masks = masks[r["start"] or 0::stride][: len(video)]
-        masks = np.stack([cv2.resize(m.astype(np.uint8), (cfg.width, cfg.height),
-                                     interpolation=cv2.INTER_NEAREST)
-                          for m in masks])
+        masks = masks[start::stride][: len(video)]
+        video, masks = reshape_video(video, masks, cfg.height, cfg.width,
+                                     cfg.video_reshape_mode, self.rng)
         return {"video": video, "masks": (masks > 0).astype(np.uint8),
                 "caption": r["caption"]}
 
@@ -176,8 +233,12 @@ class InpaintingCollator:
             video, masks = self._trim(s["video"], s["masks"])
             if self.rng.random() < cfg.mix_train_ratio:
                 video, masks = video[:1], masks[:1]  # image mode (:931-932)
+            if cfg.random_flip and self.rng.random() < 0.5:
+                video = video[:, :, ::-1]  # horizontal flip (video + masks)
+                masks = masks[:, :, ::-1]
             if self.rng.random() < cfg.mask_transform_prob:
-                masks = transform_video_masks(masks, cfg.mask_cfg, self.rng)
+                masks = transform_video_masks(
+                    np.ascontiguousarray(masks), cfg.mask_cfg, self.rng)
             masks = masks.astype(np.float32)
             if cfg.first_frame_gt:
                 masks[0] = 0.0  # frame 0 keeps GT (:934-939)
@@ -185,6 +246,8 @@ class InpaintingCollator:
             keep = (masks < 0.5) if not cfg.mask_background else (masks >= 0.5)
             cond = v * keep[..., None]
             prompt = s["caption"]
+            if cfg.id_token:
+                prompt = f"{cfg.id_token} {prompt}"
             if self.rng.random() < cfg.proportion_empty_prompts:
                 prompt = ""
             videos.append(v)
@@ -201,9 +264,12 @@ class InpaintingCollator:
 
 def data_loader(dataset: VideoInpaintingDataset, collator: InpaintingCollator,
                 batch_size: int, *, shuffle: bool = True,
-                seed: int = 0, drop_last: bool = True) -> Iterator[Dict]:
+                seed: int = 0, drop_last: bool = True,
+                yield_indices: bool = False) -> Iterator[Dict]:
     """Simple epoch iterator (the reference relies on torch DataLoader with a
-    single worker, README.md:95 — host decode is not the bottleneck)."""
+    single worker, README.md:95 — host decode is not the bottleneck).
+    yield_indices=True yields (batch, row_indices) — the key the trainer's
+    latent-moments cache uses."""
     if len(dataset) == 0:
         raise ValueError(
             "dataset is empty after filtering - check meta CSV paths, the "
@@ -216,4 +282,5 @@ def data_loader(dataset: VideoInpaintingDataset, collator: InpaintingCollator,
         for i in range(0, len(order) - (batch_size - 1 if drop_last else 0),
                        batch_size):
             idx = order[i:i + batch_size]
-            yield collator([dataset[j] for j in idx])
+            batch = collator([dataset[j] for j in idx])
+            yield (batch, idx.tolist()) if yield_indices else batch

@@ -62,8 +62,19 @@ class TrainerConfig:
     max_train_steps: int = 10000
     learning_rate: float = 1e-5
     optimizer: str = "adamw"  # adam | adamw | prodigy | adafactor
+    lr_scheduler: str = "cosine_with_restarts"  # HF get_scheduler surface
     lr_warmup_steps: int = 100
     lr_num_cycles: int = 1
+    lr_power: float = 1.0  # polynomial scheduler exponent
+    gradient_accumulation_steps: int = 1
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.95
+    adam_weight_decay: float = 1e-4
+    adam_epsilon: float = 1e-8
+    prodigy_beta3: Optional[float] = None
+    prodigy_decouple: bool = True
+    prodigy_use_bias_correction: bool = False
+    prodigy_safeguard_warmup: bool = False
     batch_size: int = 1
     checkpointing_steps: int = 500
     checkpoints_total_limit: Optional[int] = 5
@@ -72,6 +83,8 @@ class TrainerConfig:
     resume_from_checkpoint: Optional[str] = "latest"
     seed: int = 42
     mode: str = "branch"  # or "lora"
+    tracker_name: str = "videopainter-tpu"  # wandb project
+    runs_name: Optional[str] = None         # wandb run name
 
 
 def dump_first_batch(batch: Dict, out_dir: str) -> None:
@@ -143,18 +156,28 @@ def train(transformer, branch, vae, scheduler, frozen_params: dict,
     import jax
 
     from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
-    from .optim import cosine_with_restarts_schedule, make_optimizer
+    from .optim import make_lr_schedule, make_optimizer
     from .train_branch import (BranchTrainState, init_branch_train_state,
                                make_branch_train_step, make_lora_train_step)
 
     os.makedirs(tcfg.output_dir, exist_ok=True)
-    logger = Logger(tcfg.output_dir)
-    schedule = cosine_with_restarts_schedule(tcfg.learning_rate,
-                                             tcfg.lr_warmup_steps,
-                                             tcfg.max_train_steps,
-                                             tcfg.lr_num_cycles)
-    optimizer = make_optimizer(schedule=schedule, optimizer=tcfg.optimizer,
-                               max_grad_norm=bcfg.max_grad_norm)
+    logger = Logger(tcfg.output_dir, project=tcfg.tracker_name,
+                    run_name=tcfg.runs_name)
+    schedule = make_lr_schedule(tcfg.lr_scheduler, tcfg.learning_rate,
+                                warmup_steps=tcfg.lr_warmup_steps,
+                                total_steps=tcfg.max_train_steps,
+                                num_cycles=tcfg.lr_num_cycles,
+                                power=tcfg.lr_power)
+    optimizer = make_optimizer(
+        schedule=schedule, optimizer=tcfg.optimizer,
+        betas=(tcfg.adam_beta1, tcfg.adam_beta2),
+        eps=tcfg.adam_epsilon, weight_decay=tcfg.adam_weight_decay,
+        max_grad_norm=bcfg.max_grad_norm,
+        prodigy_beta3=tcfg.prodigy_beta3,
+        prodigy_decouple=tcfg.prodigy_decouple,
+        prodigy_use_bias_correction=tcfg.prodigy_use_bias_correction,
+        prodigy_safeguard_warmup=tcfg.prodigy_safeguard_warmup,
+        accumulate_steps=tcfg.gradient_accumulation_steps)
 
     if initial_trainable is None:
         raise ValueError("initial_trainable (branch params or LoRA tree) required")
@@ -197,14 +220,19 @@ def train(transformer, branch, vae, scheduler, frozen_params: dict,
     rng = jax.random.PRNGKey(tcfg.seed)
     t0 = time.time()
     for step in range(start_step, tcfg.max_train_steps):
-        batch = next(data_iter)
-        if batch_sharding is not None:
-            batch = {k: jax.device_put(v, batch_sharding)
-                     for k, v in batch.items()}
-        if step == start_step:
-            dump_first_batch(batch, tcfg.output_dir)
-        rng, k = jax.random.split(rng)
-        state, metrics = step_fn(state, frozen_params, batch, k)
+        # gradient accumulation: k micro-batches per optimizer step; optax
+        # MultiSteps averages the grads and applies the chain (incl. the
+        # global-norm clip) on the k-th call — accelerate's sync_gradients
+        # semantics. `step` counts OPTIMIZER steps, like the reference.
+        for micro in range(tcfg.gradient_accumulation_steps):
+            batch = next(data_iter)
+            if batch_sharding is not None:
+                batch = {k: jax.device_put(v, batch_sharding)
+                         for k, v in batch.items()}
+            if step == start_step and micro == 0:
+                dump_first_batch(batch, tcfg.output_dir)
+            rng, k = jax.random.split(rng)
+            state, metrics = step_fn(state, frozen_params, batch, k)
 
         if step % tcfg.log_every == 0:
             metrics = {k2: float(v) for k2, v in metrics.items()}
