@@ -307,3 +307,31 @@ def test_pos_embedding_prefix_crop_for_fewer_frames():
     x_bad = jnp.asarray(rng.randn(1, 3, 4, 12, 16), jnp.float32)
     with pytest.raises(ValueError):
         mb.apply(pb, x_bad, e, t)
+
+
+def test_remat_chunk_matches_flat_scan():
+    """Two-level (sqrt) remat: grouping the layer scan into checkpointed
+    chunks must not change the forward output or gradients — it only bounds
+    the backward's carry residency (models/dit.py)."""
+    import jax
+
+    cfg = TransformerConfig.tiny(num_layers=4)
+    model = CogVideoXTransformer3D(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    hidden = jnp.asarray(rng.rand(1, 2, 4, 8, 16), jnp.float32)
+    enc = jnp.asarray(rng.rand(1, 5, 12), jnp.float32)
+    t = jnp.asarray([3])
+
+    def loss(h, chunk):
+        return jnp.sum(model.apply(params, h, enc, t, remat=True,
+                                   remat_chunk=chunk).sample ** 2)
+
+    v_flat, g_flat = jax.value_and_grad(lambda h: loss(h, None))(hidden)
+    v_chunk, g_chunk = jax.value_and_grad(lambda h: loss(h, 2))(hidden)
+    np.testing.assert_allclose(float(v_chunk), float(v_flat), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_chunk), np.asarray(g_flat),
+                               rtol=1e-5, atol=1e-6)
+    # non-divisible chunk falls back to the flat scan (same result)
+    v_odd = loss(hidden, 3)
+    np.testing.assert_allclose(float(v_odd), float(v_flat), rtol=1e-6)

@@ -34,11 +34,12 @@ def run_rung(layers: int, steps: int, int8_backbone: bool = False,
              bf16_branch: bool = False, mode: str = "branch",
              lr: float = 1e-5, fixed_noise: bool = False,
              validate: bool = False, validate_steps: int = 6,
-             precomputed_latents: bool = False) -> dict:
+             precomputed_latents: bool = False, remat_chunk: int = 0) -> dict:
     cmd = [sys.executable, __file__, "--layers", str(layers),
            "--steps", str(steps), "--frames", str(frames),
            "--optimizer", optimizer, "--mode", mode, "--lr", str(lr),
-           "--validate-steps", str(validate_steps)] + \
+           "--validate-steps", str(validate_steps),
+           "--remat-chunk", str(remat_chunk)] + \
           (["--int8-backbone"] if int8_backbone else []) + \
           (["--bf16-branch"] if bf16_branch else []) + \
           (["--fixed-noise"] if fixed_noise else []) + \
@@ -130,7 +131,8 @@ def measure(args) -> None:
     init_s = time.time() - t0
 
     tcfg = BranchTrainConfig(height=args.height, width=args.width,
-                             mask_add=True, remat=True, use_flash=True)
+                             mask_add=True, remat=True, use_flash=True,
+                             remat_chunk=args.remat_chunk or None)
     optimizer = make_optimizer(lr=args.lr, optimizer=args.optimizer)
     if lora_mode:
         # reference ID-LoRA config: r=256 alpha=128 on backbone q/k/v/out,
@@ -212,6 +214,7 @@ def measure(args) -> None:
         "bf16_branch": bool(args.bf16_branch),
         "lr": args.lr, "fixed_noise": bool(args.fixed_noise),
         "precomputed_latents": bool(args.precomputed_latents),
+        "remat_chunk": args.remat_chunk or None,
         "dims": f"{T}f x {args.height}x{args.width}, batch 1, {frozen_desc} + "
                 f"{trainable_desc} ({args.optimizer}), flash fwd+bwd, remat, "
                 "mask_add",
@@ -285,6 +288,10 @@ def main():
                     help="run the full pipeline once after training and save "
                          "side-by-side frames under artifacts/")
     ap.add_argument("--validate-steps", type=int, default=6)
+    ap.add_argument("--remat-chunk", type=int, default=0,
+                    help="two-level remat group size (e.g. 6 or 7 at 42L): "
+                         "cuts scan-backward residuals ~3x for ~1 extra "
+                         "in-group forward — the single-chip bf16 lever")
     ap.add_argument("--precomputed-latents", action="store_true",
                     help="precompute the batch's VAE posterior moments once "
                          "and skip the per-step 49f encodes (bit-identical "
@@ -303,7 +310,8 @@ def main():
                      lr=args.lr, fixed_noise=args.fixed_noise,
                      validate=args.validate,
                      validate_steps=args.validate_steps,
-                     precomputed_latents=args.precomputed_latents)
+                     precomputed_latents=args.precomputed_latents,
+                     remat_chunk=args.remat_chunk)
         results.append(r)
         print(json.dumps(r), flush=True)
         if r.get("ok"):
@@ -315,7 +323,8 @@ def main():
         ("_bf16branch" if args.bf16_branch else "") + \
         ("_lora" if args.mode == "lora" else "") + \
         ("_overfit" if args.fixed_noise else "") + \
-        ("_precomp" if args.precomputed_latents else "")
+        ("_precomp" if args.precomputed_latents else "") + \
+        (f"_rc{args.remat_chunk}" if args.remat_chunk else "")
     path = os.path.join(os.path.dirname(__file__), "..", "TRAIN_SMOKE.json")
     out = {}
     if os.path.exists(path):  # accumulate: one section per (mode, frames)

@@ -290,6 +290,8 @@ class CogVideoXTransformer3D:
                                                               # (halves the stored state again)
         use_flash: bool = False,
         remat: bool = False,
+        remat_chunk: Optional[int] = None,  # layers per checkpointed group:
+                                # two-level (sqrt) remat — see the scan below
         seq_axis: Optional[str] = None,
         ring_mesh=None,
         resident: Optional[bool] = None,  # resident padded sequence; None =
@@ -555,7 +557,32 @@ class CogVideoXTransformer3D:
             return (h, enc_h), ys
 
         layer_ids = jnp.arange(n_layers)
-        (h, enc_h), hs_list = jax.lax.scan(scan_body, (h, enc_h), (params["blocks"], layer_ids))
+        xs = (params["blocks"], layer_ids)
+        if (remat and remat_chunk and not calibrate
+                and remat_chunk < n_layers and n_layers % remat_chunk == 0):
+            # Two-level (sqrt) rematerialization: the flat scan's backward
+            # keeps every layer's carry resident ([L, B, S_pad, D] x2 —
+            # ~9.5 GB bf16 at 42L flagship dims), which is what OOMs bf16
+            # training on one chip (TRAIN_SMOKE.json bf16 ladder). Scanning
+            # GROUPS of `remat_chunk` layers under jax.checkpoint bounds the
+            # live residuals to G group inputs + one group's per-block
+            # carries ((L/chunk + chunk) x ~230 MB, minimized near
+            # chunk=sqrt(L) -> ~3 GB at 42L) at the cost of one extra
+            # in-group forward during the backward pass. Numerics identical.
+            g = n_layers // remat_chunk
+            xs = jax.tree.map(
+                lambda x: x.reshape((g, remat_chunk) + x.shape[1:]), xs)
+
+            def group_body(carry, xs_g):
+                return jax.lax.scan(scan_body, carry, xs_g)
+
+            (h, enc_h), hs_list = jax.lax.scan(jax.checkpoint(group_body),
+                                               (h, enc_h), xs)
+            if hs_list is not None:
+                hs_list = jax.tree.map(
+                    lambda x: x.reshape((n_layers,) + x.shape[2:]), hs_list)
+        else:
+            (h, enc_h), hs_list = jax.lax.scan(scan_body, (h, enc_h), xs)
 
         if seq_pad:
             h = h[:, :s_vid]

@@ -50,6 +50,10 @@ class BranchTrainConfig:
     lora_alpha: float = 128.0
     id_pool_resample: bool = True  # LoRA training forwards with resample attn
     remat: bool = True
+    remat_chunk: Optional[int] = None  # two-level remat group size for the
+                                       # backbone scan (models/dit.py): cuts
+                                       # the scan-backward carry residency
+                                       # from L to ~2*sqrt(L) layer-states
     use_flash: bool = False  # Pallas flash attention (differentiable custom VJP)
     seq_axis: Optional[str] = None  # mesh axis for GSPMD sequence parallelism
 
@@ -233,7 +237,8 @@ def make_branch_train_step(transformer, branch, vae, scheduler, optimizer,
                 frozen_transformer, noisy_model_input, prompt_embeds, timesteps,
                 rope=rope, branch_block_samples=samples,
                 branch_block_masks=mask_lat if cfg.mask_add else None,
-                add_first=cfg.add_first, remat=cfg.remat, use_flash=cfg.use_flash,
+                add_first=cfg.add_first, remat=cfg.remat,
+                remat_chunk=cfg.remat_chunk, use_flash=cfg.use_flash,
                                    seq_axis=cfg.seq_axis, ring_mesh=ring_mesh)
             return _x0_loss(scheduler, out.sample, noisy_vid, timesteps,
                             model_input, mask_lat, cfg.inpainting_loss_weight)
@@ -293,7 +298,7 @@ def make_lora_train_step(transformer, branch, vae, scheduler, optimizer,
                 branch_block_masks=mask_lat if cfg.mask_add else None,
                 add_first=cfg.add_first,
                 id_pool_resample=cfg.id_pool_resample, remat=cfg.remat,
-                use_flash=cfg.use_flash,
+                remat_chunk=cfg.remat_chunk, use_flash=cfg.use_flash,
                                    seq_axis=cfg.seq_axis, ring_mesh=ring_mesh)
             return _x0_loss(scheduler, out.sample, noisy_vid, timesteps,
                             model_input, mask_lat, cfg.inpainting_loss_weight)
