@@ -111,7 +111,11 @@ def test_serving_rung_first_and_emitted_immediately(bench, monkeypatch, capsys):
     assert _is_serving(calls[0])
     # first emitted line IS the serving headline (value survives to the last)
     assert lines[0]["value"] == serving["value"]
-    assert lines[0]["detail"]["headline_rung"] == "int8_serving_42L"
+    # the headline rung name follows the committed gate artifact: with
+    # GATE_int8.json + calib_ascales.npz present the static-ascale rung
+    # leads; without them the dynamic-int8 rung does
+    expected_first = bench._gated_serving_rungs()[0][0][0]
+    assert lines[0]["detail"]["headline_rung"] == expected_first
     assert "serving_config" in lines[0]["detail"]
     # last line still the same headline, now with parity + rung log attached
     last = lines[-1]

@@ -98,6 +98,12 @@ def get_args(argv=None):
                                       "— required at flagship dims)")
     p.add_argument("--no_gradient_checkpointing", action="store_false",
                    dest="gradient_checkpointing")
+    p.add_argument("--remat_chunk", type=int, default=0,
+                   help="two-level remat group size for the backbone scan "
+                        "(e.g. 7 at 42 layers): backward carry residency "
+                        "drops from L to ~L/chunk+chunk layer-states for "
+                        "one extra in-group forward — the single-chip bf16 "
+                        "training lever (no reference analog)")
     p.add_argument("--learning_rate", type=float, default=1e-5)
     p.add_argument("--scale_lr", action="store_true",
                    help="lr *= grad_accum x batch x data-parallel size")
@@ -373,6 +379,7 @@ def main(argv=None):
         mask_add=args.mask_add, add_first=args.add_first, wo_text=args.wo_text,
         noised_image_dropout=args.noised_image_dropout,
         use_flash=args.use_flash, remat=args.gradient_checkpointing,
+        remat_chunk=args.remat_chunk or None,
         max_grad_norm=args.max_grad_norm,
         lora_rank=args.rank, lora_alpha=args.lora_alpha)
     trcfg = TrainerConfig(
