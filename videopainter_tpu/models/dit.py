@@ -562,25 +562,44 @@ class CogVideoXTransformer3D:
                 and remat_chunk < n_layers and n_layers % remat_chunk == 0):
             # Two-level (sqrt) rematerialization: the flat scan's backward
             # keeps every layer's carry resident ([L, B, S_pad, D] x2 —
-            # ~9.5 GB bf16 at 42L flagship dims), which is what OOMs bf16
-            # training on one chip (TRAIN_SMOKE.json bf16 ladder). Scanning
+            # ~5 GB bf16 at 42L flagship dims), part of what OOMs bf16
+            # training on one chip (TRAIN_SMOKE.json bf16 ladder). Running
             # GROUPS of `remat_chunk` layers under jax.checkpoint bounds the
             # live residuals to G group inputs + one group's per-block
-            # carries ((L/chunk + chunk) x ~230 MB, minimized near
-            # chunk=sqrt(L) -> ~3 GB at 42L) at the cost of one extra
-            # in-group forward during the backward pass. Numerics identical.
+            # carries ((L/chunk + chunk) states, minimized near
+            # chunk=sqrt(L)) at the cost of one extra in-group forward
+            # during the backward pass. Numerics identical.
+            #
+            # The groups are a PYTHON-unrolled loop, and each group slices
+            # its layers from the ORIGINAL stacked tree with static indices
+            # INSIDE its checkpoint region: a checkpointed fn saves its
+            # inputs as residuals, so feeding it the unmodified param input
+            # aliases the resident weights. (The first implementation
+            # reshaped the stack to [G, chunk, ...] and scanned groups —
+            # the reshaped tree is a COMPUTED value, so remat saved a full
+            # HLO-temp COPY of every kernel stack: +6x756 MB on chip,
+            # measured OOM at 42L. Do not reintroduce the reshape.)
             g = n_layers // remat_chunk
-            xs = jax.tree.map(
-                lambda x: x.reshape((g, remat_chunk) + x.shape[1:]), xs)
 
-            def group_body(carry, xs_g):
-                return jax.lax.scan(scan_body, carry, xs_g)
+            def group_fn(carry, blocks_all, lo):
+                xs_g = jax.tree.map(
+                    lambda x: jax.lax.slice_in_dim(x, lo, lo + remat_chunk,
+                                                   axis=0), blocks_all)
+                return jax.lax.scan(scan_body, carry,
+                                    (xs_g, layer_ids[lo:lo + remat_chunk]))
 
-            (h, enc_h), hs_list = jax.lax.scan(jax.checkpoint(group_body),
-                                               (h, enc_h), xs)
-            if hs_list is not None:
+            group_ckpt = jax.checkpoint(group_fn, static_argnums=(2,))
+            carry = (h, enc_h)
+            ys_groups = []
+            for gi in range(g):
+                carry, ys = group_ckpt(carry, params["blocks"],
+                                       gi * remat_chunk)
+                ys_groups.append(ys)
+            h, enc_h = carry
+            hs_list = None
+            if ys_groups[0] is not None:
                 hs_list = jax.tree.map(
-                    lambda x: x.reshape((n_layers,) + x.shape[2:]), hs_list)
+                    lambda *parts: jnp.concatenate(parts, axis=0), *ys_groups)
         else:
             (h, enc_h), hs_list = jax.lax.scan(scan_body, (h, enc_h), xs)
 
