@@ -246,6 +246,7 @@ def generate_video(args, first_frame_inpaint_fn: Optional[Callable] = None,
     else:
         emb_kw = dict(prompt=prompt, negative_prompt=args.negative_prompt)
 
+    from ..pipelines.common import parse_skip_steps
     from ..utils.profiling import maybe_profile
 
     with maybe_profile(getattr(args, "profile", False), "inpaint_denoise",
@@ -262,6 +263,9 @@ def generate_video(args, first_frame_inpaint_fn: Optional[Callable] = None,
                               else "int8" if getattr(args, "int8_attn", False)
                               else getattr(args, "use_flash", False)),
                    sequential_cfg=getattr(args, "sequential_cfg", False),
+                   skip_steps=(parse_skip_steps(args.skip_steps,
+                                                args.num_inference_steps)
+                               if getattr(args, "skip_steps", None) else None),
                    # int8 capture defaults ON for the single-chip ID config:
                    # with bf16 compressed capture the window-0 denoise
                    # RESOURCE_EXHAUSTEDs at flagship dims (chip-validated;
@@ -344,6 +348,12 @@ def get_args(argv=None):
     p.add_argument("--no_capture_int8", action="store_true",
                    help="force bf16 compressed capture in --int8 ID mode "
                         "(needs more HBM headroom than one 16 GB chip)")
+    p.add_argument("--skip_steps", default=None,
+                   help='step-skip cache schedule "start:end:stride" (or '
+                        "explicit comma list): skipped steps reuse the "
+                        "cached pre-CFG prediction — the quality-gated "
+                        "serving accelerator (tools/gate_skip_flagship.py, "
+                        "GATE_skip.json)")
     p.add_argument("--sequential_cfg", action="store_true",
                    help="uncond/cond as two passes per step - halves "
                         "activation memory (single-chip 42L)")

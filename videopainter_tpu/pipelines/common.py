@@ -99,6 +99,35 @@ def dynamic_cfg_scales(timesteps: np.ndarray, num_inference_steps: int,
     return np.array(out, dtype=np.float32)
 
 
+def uniform_skip_steps(num_steps: int, start: int, end: int,
+                       stride: int = 2) -> Tuple[int, ...]:
+    """Static step-skip schedule: inside [start, end) evaluate the model only
+    every `stride`-th step and reuse the cached pre-CFG prediction for the
+    rest. Early steps (< start) and late steps (>= end) always evaluate —
+    the trajectory's endpoints are where reuse error hurts most (large CFG
+    scale swings under dynamic CFG at late t, structure formation at early t).
+
+    Accepts the "start:end:stride" CLI spelling via parse_skip_steps. Returns
+    the tuple of SKIPPED indices for DenoiseConfig.skip_steps.
+    """
+    if not (0 < start <= end <= num_steps):
+        raise ValueError(f"bad skip window [{start}, {end}) for {num_steps} steps")
+    if stride < 2:
+        raise ValueError("stride must be >= 2 (stride 1 would skip every step)")
+    return tuple(i for i in range(start, end) if (i - start) % stride)
+
+
+def parse_skip_steps(spec: str, num_steps: int) -> Tuple[int, ...]:
+    """CLI spelling for skip schedules: "start:end:stride" (uniform window)
+    or a comma list of explicit indices ("11,13,15")."""
+    if ":" in spec:
+        parts = [int(x) for x in spec.split(":")]
+        start, end = parts[0], parts[1]
+        stride = parts[2] if len(parts) > 2 else 2
+        return uniform_skip_steps(num_steps, start, end, stride)
+    return tuple(sorted(int(x) for x in spec.split(",") if x.strip()))
+
+
 def capture_token_indices(mask: jnp.ndarray, patch_size: int, text_len: int,
                           bucket: int = 2048) -> jnp.ndarray:
     """Joint-sequence gather indices for COMPRESSED cross-window state capture.
@@ -188,6 +217,16 @@ class DenoiseConfig:
     # "selfguidance": training-free per-step hidden-state swap
     #        (pipeline_cogvideox_inpainting_selfguidance.py:852-880).
     mode: str = "dual"
+    # Step-skip caching (DeepCache/TeaCache-style serving accelerator, NOT in
+    # the reference): at the listed step indices the transformer+branch
+    # evaluation is SKIPPED and the previous step's pre-CFG model output is
+    # reused; the scheduler update, dynamic CFG scale, and replace_gt blend
+    # still run fresh every step. ~7.4 s/step of model compute becomes ~ms
+    # for each skipped step at flagship dims. Quality-gated like int8:
+    # tools/gate_skip_flagship.py writes GATE_skip.json and bench.py only
+    # headlines a skip rung whose gate clears >=35 dB vs the bf16 full-step
+    # trajectory. Step 0 must always evaluate.
+    skip_steps: Optional[Tuple[int, ...]] = None
 
 
 def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
@@ -433,20 +472,62 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
 
     _chunk_cache: Dict[str, Any] = {}
 
+    # Step-skip caching: precomputed boolean [S] — True = evaluate the model,
+    # False = reuse the cached pre-CFG prediction from the carry. The no-skip
+    # path keeps the ORIGINAL two-element carry so existing compiled programs
+    # and golden tests are byte-identical.
+    if dcfg.skip_steps:
+        _rm = np.ones(S, dtype=bool)
+        for si in dcfg.skip_steps:
+            if not (0 <= si < S):
+                raise ValueError(f"skip step {si} out of range [0, {S})")
+            _rm[si] = False
+        if not _rm[0]:
+            raise ValueError("step 0 cannot be skipped (nothing cached yet)")
+        run_mask = jnp.asarray(_rm)
+    else:
+        run_mask = None
+
+    def _init_pred(inputs: DenoiseInputs):
+        # cached pre-CFG model output: [2B (CFG) or B, T, h, w, C] fp32
+        b = inputs.latents.shape[0] * (2 if dcfg.do_cfg else 1)
+        return jnp.zeros((b,) + inputs.latents.shape[1:], jnp.float32)
+
+    def _predict(params, inputs, rope, latents, i, prev_state, prev_pred):
+        """Model output for step i: evaluated, or reused from the cache."""
+        if run_mask is None:
+            return model_step(params, inputs, rope, latents, i, prev_state,
+                              capture=False).sample
+
+        def full(lat):
+            return model_step(params, inputs, rope, lat, i, prev_state,
+                              capture=False).sample.astype(jnp.float32)
+
+        return jax.lax.cond(run_mask[i], full, lambda lat: prev_pred, latents)
+
     def denoise(params, inputs: DenoiseInputs, rope, rng, prev_state=None):
         n_scan = S - 1 if dcfg.capture_hidden_states else S
         step_keys = jax.random.split(rng, S)
 
         def body(carry, i):
-            latents, old_x0 = carry
-            out = model_step(params, inputs, rope, latents, i, prev_state, capture=False)
+            if run_mask is None:
+                latents, old_x0 = carry
+                prev_pred = None
+            else:
+                latents, old_x0, prev_pred = carry
+            pred = _predict(params, inputs, rope, latents, i, prev_state,
+                            prev_pred)
             latents, x0 = scheduler_and_blend(inputs, latents, old_x0,
-                                              out.sample, i, step_keys[i])
+                                              pred, i, step_keys[i])
             if dcfg.with_progress:
                 jax.debug.callback(_notify, i)
-            return (latents, x0), ()
+            out_carry = ((latents, x0) if run_mask is None
+                         else (latents, x0, pred))
+            return out_carry, ()
 
         init = (inputs.latents, jnp.zeros_like(inputs.latents))
+        if run_mask is not None:
+            init = init + (_init_pred(inputs),)
         if dcfg.scan_chunk and dcfg.scan_chunk < n_scan:
             # Chunked dispatch: the flagship 50-step scan is a single
             # ~7-minute device program, and the axon tunnel kills
@@ -463,13 +544,19 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
                 def seg_fn(params, inputs, rope, prev_state, step_keys,
                            carry, start):
                     def seg_body(carry, i):
-                        latents, old_x0 = carry
-                        out = model_step(params, inputs, rope, latents, i,
-                                         prev_state, capture=False)
+                        if run_mask is None:
+                            latents, old_x0 = carry
+                            prev_pred = None
+                        else:
+                            latents, old_x0, prev_pred = carry
+                        pred = _predict(params, inputs, rope, latents, i,
+                                        prev_state, prev_pred)
                         latents, x0 = scheduler_and_blend(
-                            inputs, latents, old_x0, out.sample, i,
+                            inputs, latents, old_x0, pred, i,
                             step_keys[i])
-                        return (latents, x0), ()
+                        out_carry = ((latents, x0) if run_mask is None
+                                     else (latents, x0, pred))
+                        return out_carry, ()
                     return jax.lax.scan(seg_body, carry,
                                         jnp.arange(chunk) + start)[0]
                 _chunk_cache["seg"] = jax.jit(seg_fn)
@@ -490,9 +577,10 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
                             carry, jnp.asarray(s0))
                 _sync(carry[0])        # per-segment: no wait exceeds ~chunk steps
                 _notify(s0 + chunk - 1)
-            latents, old_x0 = carry
+            latents, old_x0 = carry[0], carry[1]
         else:
-            (latents, old_x0), _ = jax.lax.scan(body, init, jnp.arange(n_scan))
+            carry, _ = jax.lax.scan(body, init, jnp.arange(n_scan))
+            latents, old_x0 = carry[0], carry[1]
 
         hidden_states_list = None
         resample_mask = None

@@ -185,6 +185,10 @@ class CogVideoXI2VDualInpaintPipeline:
         use_flash: bool = False,
         sequential_cfg: bool = False,
         scan_chunk: int = None,   # None -> auto (4 on axon, 0 = one program)
+        skip_steps: Optional[Tuple[int, ...]] = None,  # step-skip cache
+                                  # schedule (common.uniform_skip_steps /
+                                  # parse_skip_steps); quality-gated serving
+                                  # accelerator — see GATE_skip.json
         seq_axis: Optional[str] = None,
         ring_mesh=None,
         progress_fn: Optional[Any] = None,   # called with (step, total_steps)
@@ -250,6 +254,7 @@ class CogVideoXI2VDualInpaintPipeline:
             sequential_cfg=sequential_cfg,
             scan_chunk=(scan_chunk if scan_chunk is not None else
                         (4 if not supports_host_callbacks() else 0)),
+            skip_steps=tuple(skip_steps) if skip_steps else None,
             with_progress=progress_fn is not None and supports_host_callbacks(),
             mode=self._mode)
         denoise = self._get_denoise(dcfg, timesteps)

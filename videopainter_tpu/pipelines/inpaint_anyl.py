@@ -71,6 +71,8 @@ class CogVideoXI2VDualInpaintAnyLPipeline(CogVideoXI2VDualInpaintPipeline):
         use_flash: bool = False,
         sequential_cfg: bool = False,
         scan_chunk: int = None,   # None -> auto (4 on axon, 0 = one program)
+        skip_steps=None,          # step-skip cache schedule (gated; the
+                                  # capture step always evaluates fully)
         seq_axis: Optional[str] = None,
         ring_mesh=None,
         stream_decode: bool = False,
@@ -137,6 +139,7 @@ class CogVideoXI2VDualInpaintAnyLPipeline(CogVideoXI2VDualInpaintPipeline):
             sequential_cfg=sequential_cfg,
             scan_chunk=(scan_chunk if scan_chunk is not None else
                         (4 if not supports_host_callbacks() else 0)),
+            skip_steps=tuple(skip_steps) if skip_steps else None,
             with_progress=progress_fn is not None and supports_host_callbacks(),
             mode=self._mode)
 
