@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--int8_attn", action="store_true",
                     help="SageAttention-style int8-QK^T flash attention "
                          "(the full production fast mode)")
+    ap.add_argument("--skip_steps", default=None,
+                    help='step-skip cache schedule "start:end:stride" '
+                         "(gated via GATE_skip.json; the anyl capture step "
+                         "always evaluates fully)")
     ap.add_argument("--capture_int8", action="store_true",
                     help="store the compressed cross-window capture as "
                          "per-token int8 (+scales) — halves it again; "
@@ -67,6 +71,7 @@ def main():
     from videopainter_tpu.models import (AutoencoderKLCogVideoX, CogVideoXBranch,
                                          CogVideoXTransformer3D)
     from videopainter_tpu.pipelines import CogVideoXI2VDualInpaintAnyLPipeline
+    from videopainter_tpu.pipelines.common import parse_skip_steps
     from videopainter_tpu.schedulers import CogVideoXDPMScheduler
 
     dtype = jnp.bfloat16
@@ -150,6 +155,8 @@ def main():
         prev_clip_weight=0.3 if args.resample else 0.0,
         rng=jax.random.PRNGKey(42),
         use_flash=("int8" if args.int8_attn else True),
+        skip_steps=(parse_skip_steps(args.skip_steps, args.steps)
+                    if args.skip_steps else None),
         stream_decode=args.stream_decode, dtype=dtype)
     out = np.asarray(out)
     wall = time.time() - t0
