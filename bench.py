@@ -118,9 +118,14 @@ def _gated_serving_rungs():
     try:
         with open(gate_path) as f:
             gate = json.load(f)
-    except Exception:
+    except FileNotFoundError:
         return [], {"status": "missing",
                     "note": "GATE_int8.json absent — bf16 headline"}
+    except Exception as e:  # malformed artifact: say so, don't headline int8
+        return [], {"status": "unreadable",
+                    "note": f"GATE_int8.json unreadable ({e!r}) — bf16 "
+                            "headline; regenerate with "
+                            "tools/gate_int8_flagship.py"}
     latent = gate.get("latent", {}).get("psnr_db", 0.0)
     pixel = gate.get("pixel", {}).get("psnr_db")
     info = {"status": "ok", "path": "GATE_int8.json",
@@ -142,6 +147,8 @@ def _gated_serving_rungs():
             with open(os.path.join(_REPO, "GATE_skip.json")) as f:
                 sgate = json.load(f)
             best = None
+            anchor = sgate.get("perceptual_anchor") or {}
+            rob = sgate.get("robustness") or {}
             if sgate.get("serving_mode") == "int8+ascale":
                 for spec, e in (sgate.get("schedules") or {}).items():
                     # per-schedule eligibility: latent AND decoded-pixel PSNR
@@ -152,6 +159,17 @@ def _gated_serving_rungs():
                     if pix is None and (sgate.get("pixel") or {}).get(
                             "schedule") == spec:
                         pix = sgate["pixel"].get("psnr_db")
+                    # perceptual leg (round-5 gate): LPIPS vs bf16 must not
+                    # exceed the 35 dB white-noise control's LPIPS
+                    if "lpips_vs_bf16" in e and "lpips" in anchor and \
+                            e["lpips_vs_bf16"] > anchor["lpips"]:
+                        continue
+                    # robustness leg: every extra (seed, geom) config of
+                    # this schedule must clear the latent bar too
+                    if rob.get("schedule") == spec and any(
+                            r.get("latent_psnr_vs_bf16_db", 0.0) < MIN_PSNR_DB
+                            for r in rob.get("configs", [])):
+                        continue
                     if (e.get("latent_psnr_vs_bf16_db", 0.0) >= MIN_PSNR_DB
                             and pix is not None and pix >= MIN_PSNR_DB
                             and (best is None or e["skipped_steps"]
@@ -164,12 +182,24 @@ def _gated_serving_rungs():
                     "skipped_steps": entry.get("skipped_steps"),
                     "latent_psnr_db": entry.get("latent_psnr_vs_bf16_db"),
                     "pixel_psnr_db": pix}
+                if "lpips_vs_bf16" in entry:
+                    info["skip_gate"]["lpips_vs_bf16"] = entry["lpips_vs_bf16"]
+                    info["skip_gate"]["lpips_noise35_control"] = \
+                        anchor.get("lpips")
+                if rob.get("schedule") == spec and rob.get("configs"):
+                    info["skip_gate"]["robustness_min_latent_psnr_db"] = min(
+                        r.get("latent_psnr_vs_bf16_db", 0.0)
+                        for r in rob["configs"])
                 rungs.append(("int8_ascale_skip_42L",
                               ["--layers", "42", "--int8", "--int8-attn",
                                "--int8-scales", scales_path,
                                "--skip-spec", spec]))
-        except Exception:
-            pass
+        except FileNotFoundError:
+            pass  # no skip gate on record — int8+ascale stays the fastest rung
+        except Exception as e:
+            # malformed/renamed gate must not SILENTLY drop the fastest rung
+            # (GATE consumption-control convention: quiet no-ops are bugs)
+            info["skip_gate_error"] = repr(e)
     if ascale_ok:
         info["static_ascale_psnr_db"] = sa_psnr
         rungs.append(("int8_ascale_serving_42L",

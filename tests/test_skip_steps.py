@@ -45,6 +45,34 @@ def test_uniform_skip_steps_helper():
         uniform_skip_steps(50, 10, 60, 2)  # window past the end
     with pytest.raises(ValueError):
         uniform_skip_steps(50, 10, 20, 1)  # stride 1 = skip everything
+    # comma lists are deduped and range-checked AT PARSE TIME: a spec like
+    # "5,5,7" must not inflate bench.py's n_skip arithmetic, and "60" with
+    # 50 steps must fail loudly, not at trace time
+    assert parse_skip_steps("5,5,7", 50) == (5, 7)
+    with pytest.raises(ValueError, match="out of range"):
+        parse_skip_steps("60", 50)
+    with pytest.raises(ValueError, match="out of range"):
+        parse_skip_steps("3,-1", 50)
+
+
+def test_skip_final_step_with_capture_rejected():
+    """With capture_hidden_states the final step always evaluates fully
+    (cross-window states need a real forward); listing it as skipped would
+    be a silent no-op — make_denoise_fn must reject it loudly."""
+    cfg = TransformerConfig.tiny(in_channels=8, out_channels=4,
+                                 sample_height=8, sample_width=12)
+    transformer = CogVideoXTransformer3D(cfg)
+    sched = CogVideoXDDIMScheduler(SchedulerConfig.cogvideox_5b_inference())
+    ts = sched.timesteps(4)
+    dcfg = DenoiseConfig(num_inference_steps=4, do_cfg=False,
+                         use_dynamic_cfg=False, guidance_scale=1.0,
+                         conditioning_scale=1.0, replace_gt=False,
+                         mask_add=False, mask_background=False,
+                         add_first=False, wo_text=False,
+                         id_pool_resample=False, is_dpm=False, mode="plain",
+                         capture_hidden_states=True, skip_steps=(2, 3))
+    with pytest.raises(ValueError, match="capture"):
+        make_denoise_fn(transformer, None, sched, dcfg, ts)
 
 
 def test_skip_step0_rejected():

@@ -323,8 +323,14 @@ def main():
     hs_ref = np.asarray(hs_bf16.astype(jnp.float32))
     cap_rel_l1 = float(np.abs(hs_deq - hs_ref).mean() /
                        (np.abs(hs_ref).mean() + 1e-12))
-    cap_cos = float((hs_deq * hs_ref).sum() /
-                    (np.linalg.norm(hs_deq) * np.linalg.norm(hs_ref) + 1e-12))
+    # fp64 accumulation: a float32 dot/norm over ~1e9 elements loses enough
+    # precision to report cosine > 1 (round-4 artifact said 1.014997 — an
+    # impossible value for a similarity measure)
+    dot = np.dot(hs_deq.ravel().astype(np.float64),
+                 hs_ref.ravel().astype(np.float64))
+    n_deq = np.linalg.norm(hs_deq.ravel().astype(np.float64))
+    n_ref = np.linalg.norm(hs_ref.ravel().astype(np.float64))
+    cap_cos = float(dot / (n_deq * n_ref + 1e-12))
 
     # propagation: window-1-style ID-resample forward consuming each capture
     del hs_deq, hs_ref, cap_bf16

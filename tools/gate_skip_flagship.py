@@ -13,19 +13,32 @@ re-noising), so this gate runs the actual fused denoise scan
                                     under the real scheduler too
  3. int8+static-ascale + skip    -> the candidate rung, one run per schedule
 
-Reported per schedule: latent PSNR vs (1) and vs (2), plus a decoded-pixel
-PSNR/SSIM leg for the first schedule (reference eval protocol measures
-pixels, /root/reference/evaluate/eval_inpainting.py:400-448). bench.py
-headlines a skip rung only if its latent AND pixel PSNR vs the bf16
-trajectory clear >=35 dB (GATE_skip.json, same bar as GATE_int8.json).
+Evidence legs (round-5 deepening — a single-clip PSNR number was too thin
+to carry the headline multiplier):
+
+ * latent + decoded-pixel PSNR/SSIM per schedule (as before)
+ * ROBUSTNESS: the headline schedule re-gated over --seeds noise seeds x
+   --mask-geoms mask geometries (each with its own bf16 reference run)
+ * PERCEPTUAL: LPIPS (JAX SqueezeNet trunk) and CLIP temporal consistency
+   on the decoded frames, each ANCHORED by a noise control — white noise
+   added to the reference pixels at exactly the 35 dB gate bar. A schedule
+   passes the perceptual leg when its LPIPS is <= the 35 dB control's LPIPS
+   (i.e. skipping is perceptually no worse than the noise level the PSNR
+   bar already tolerates). This self-calibrates the metric scale, which
+   matters because the feature weights are seeded-random (no pretrained
+   checkpoints in this zero-egress environment; a random-feature perceptual
+   distance still orders distortions, but its absolute scale is arbitrary).
 
 Weights are random (no public checkpoints in this environment): the gate
 measures skip-error propagation through the real 42L arithmetic + scheduler,
-not perceptual quality on real content.
+not perceptual quality on real content. The decoded-pixel legs likewise run
+through a RANDOM-init VAE decoder — recorded per schedule so downstream
+consumers don't over-read the pixel bar (reference protocol:
+/root/reference/evaluate/eval_inpainting.py:400-448).
 
 Usage:
   python tools/gate_skip_flagship.py                      # schedules 10:46:2
-  python tools/gate_skip_flagship.py --schedules 10:46:2 12:44:2
+  python tools/gate_skip_flagship.py --schedules 4:48:4 4:48:5 --seeds 3
   python tools/gate_skip_flagship.py --smoke              # CPU plumbing test
 """
 
@@ -44,6 +57,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_REPO = os.path.join(os.path.dirname(__file__), "..")
+
+MASK_GEOMS = {
+    # name -> fn(T_lat, H_lat, W_lat) -> [T, H, W] float mask (1 = hole)
+    # "rect": the round-4 geometry (~26% area central rectangle; 15:45 x
+    # 22:68 at the flagship 60x90 latent grid — exact fractions so the
+    # primary config stays bit-identical to the round-4 artifact)
+    "rect": lambda T, H, W: _rect(T, H, W, H // 4, 3 * H // 4,
+                                  round(W * 11 / 45), round(W * 34 / 45)),
+    # "tall": off-center tall narrow hole (~19% area) — different
+    # aspect/position exercises different RoPE bands + patch rows
+    "tall": lambda T, H, W: _rect(T, H, W, int(H * 0.083), int(H * 0.917),
+                                  int(W * 0.111), int(W * 0.333)),
+}
+
+
+def _rect(T, H, W, h0, h1, w0, w1):
+    m = np.zeros((T, H, W), np.float32)
+    m[:, h0:h1, w0:w1] = 1.0
+    return m
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -58,13 +92,23 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="gate skip on the bf16 path instead of int8 (no "
                          "quantization error in the stack)")
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="noise seeds for the ROBUSTNESS leg: the headline "
+                         "(first) schedule is re-gated for every (seed, "
+                         "mask-geom) pair; seed 0 x geom[0] is the primary "
+                         "config that also carries the per-schedule legs")
+    ap.add_argument("--mask-geoms", nargs="+", default=["rect"],
+                    choices=sorted(MASK_GEOMS),
+                    help="mask geometries for the robustness leg")
+    ap.add_argument("--no-perceptual", action="store_true",
+                    help="skip the LPIPS/temporal-consistency legs")
     ap.add_argument("--ref-cache", default=None,
                     help="npz path caching the bf16-full and serving-full "
                          "final latents. The gate is DETERMINISTIC (fixed "
                          "keys), so a cached reference is bit-identical to "
                          "a recompute — reruns then only pay for the new "
-                         "skip schedules (~5 min each), not the ~26 min "
-                         "bf16 trajectory.")
+                         "skip schedules (~2.5 min each), not the bf16 "
+                         "trajectories.")
     ap.add_argument("--out", default="GATE_skip.json")
     ap.add_argument("--smoke", action="store_true",
                     help="plumbing dry-run: tiny dims, 2 layers, CPU, no "
@@ -115,45 +159,52 @@ def main():
 
     lat_shape = (B, T_lat, H_lat, W_lat, 16)
     gen = jax.jit(lambda k, s=lat_shape: jax.random.normal(k, s, dtype=dtype))
-    keys = jax.random.split(jax.random.PRNGKey(2), 5)
-    # production-like ~25%-area rectangular hole
-    m = np.zeros((B, T_lat, H_lat, W_lat), np.float32)
-    if args.smoke:
-        m[:, :, 2:6, 3:9] = 1.0
-    else:
-        m[:, :, 15:45, 22:68] = 1.0
-    inputs = DenoiseInputs(
-        latents=gen(keys[0]),
-        image_latents=jnp.zeros(lat_shape, dtype),
-        masked_video_latents=gen(keys[1]),
-        mask=jnp.asarray(m, dtype),
-        prompt_embeds=jax.random.normal(keys[2], (2 * B, 226, 4096),
-                                        dtype=dtype),
-        noise=gen(keys[3]),
-        video_latents=gen(keys[4]),   # replace_gt re-noises the "clean" GT
-    )
+
+    def make_inputs(seed: int, geom: str) -> DenoiseInputs:
+        # deterministic per (seed, geom); seed 0 + geom[0] reproduces the
+        # round-4 primary config bit-exactly (keys from PRNGKey(2))
+        keys = jax.random.split(jax.random.PRNGKey(2 + 1000 * seed), 5)
+        if args.smoke:
+            m = _rect(T_lat, H_lat, W_lat, 2, 6, 3, 9)
+        else:
+            m = MASK_GEOMS[geom](T_lat, H_lat, W_lat)
+        return DenoiseInputs(
+            latents=gen(keys[0]),
+            image_latents=jnp.zeros(lat_shape, dtype),
+            masked_video_latents=gen(keys[1]),
+            mask=jnp.asarray(m[None], dtype),
+            prompt_embeds=jax.random.normal(keys[2], (2 * B, 226, 4096),
+                                            dtype=dtype),
+            noise=gen(keys[3]),
+            video_latents=gen(keys[4]),  # replace_gt re-noises "clean" GT
+        )
+
     rope = prepare_rope(cfg, H_lat * 8, W_lat * 8, T_lat, 8)
     rope = (rope[0].astype(dtype), rope[1].astype(dtype))
 
     sched = CogVideoXDPMScheduler(SchedulerConfig.cogvideox_5b_inference())
     timesteps = sched.timesteps(args.steps)
 
-    def run(params, use_flash, skip=None):
+    _fn_cache = {}
+
+    def run(params, use_flash, inputs, skip=None):
         # the serving path: sequential CFG + chunked dispatch (axon kills
         # long device programs), dynamic CFG 6.0, DPM, replace_gt blending
-        dcfg = DenoiseConfig(
-            num_inference_steps=args.steps, do_cfg=True, use_dynamic_cfg=True,
-            guidance_scale=6.0, conditioning_scale=1.0, replace_gt=True,
-            mask_add=True, mask_background=False, add_first=False,
-            wo_text=False, id_pool_resample=False, is_dpm=True,
-            use_flash=use_flash, sequential_cfg=not args.smoke,
-            scan_chunk=0 if args.smoke else 5, mode="dual",
-            skip_steps=skip)
-        fn = make_denoise_fn(transformer, branch, sched, dcfg, timesteps)
-        if args.smoke:
-            fn = jax.jit(fn)
+        key = (use_flash, skip)
+        if key not in _fn_cache:
+            dcfg = DenoiseConfig(
+                num_inference_steps=args.steps, do_cfg=True,
+                use_dynamic_cfg=True, guidance_scale=6.0,
+                conditioning_scale=1.0, replace_gt=True,
+                mask_add=True, mask_background=False, add_first=False,
+                wo_text=False, id_pool_resample=False, is_dpm=True,
+                use_flash=use_flash, sequential_cfg=not args.smoke,
+                scan_chunk=0 if args.smoke else 5, mode="dual",
+                skip_steps=skip)
+            fn = make_denoise_fn(transformer, branch, sched, dcfg, timesteps)
+            _fn_cache[key] = jax.jit(fn) if args.smoke else fn
         t0 = time.time()
-        lat, _, _ = fn(params, inputs, rope, jax.random.PRNGKey(7))
+        lat, _, _ = _fn_cache[key](params, inputs, rope, jax.random.PRNGKey(7))
         out = np.asarray(lat.astype(jnp.float32))
         return out, round(time.time() - t0, 1)
 
@@ -166,15 +217,31 @@ def main():
         return np.asarray([args.layers, args.steps, T_lat, H_lat, W_lat])
 
     use_flash_ref = False if args.smoke else True
-    ref = None
+
+    # robustness matrix: (seed, geom); primary = (0, geoms[0])
+    configs = [(s, g) for s in range(max(args.seeds, 1))
+               for g in args.mask_geoms]
+    primary = configs[0]
+    inputs_by_cfg = {c: make_inputs(*c) for c in configs}
+
+    # ---- phase 1: bf16 reference trajectories (one per config) ------------
+    cache = {}
     if args.ref_cache and os.path.exists(args.ref_cache):
         z = np.load(args.ref_cache)
         if np.array_equal(z["meta"], _cache_meta()):
-            ref, t_bf16 = z["ref"], float(z["t_bf16"])
-            print(f"loaded bf16 reference from {args.ref_cache}")
-    if ref is None:
-        ref, t_bf16 = run(params, use_flash_ref)
+            cache = {k: z[k] for k in z.files}
+    refs, t_bf16 = {}, {}
+    for c in configs:
+        ck = f"ref_s{c[0]}_{c[1]}"
+        if ck in cache:
+            refs[c], t_bf16[c] = cache[ck], float(cache["t_" + ck])
+            print(f"loaded bf16 reference {c} from {args.ref_cache}")
+        else:
+            refs[c], t_bf16[c] = run(params, use_flash_ref, inputs_by_cfg[c])
+            print(json.dumps({"bf16_full": {"seed": c[0], "geom": c[1],
+                                            "wall_s": t_bf16[c]}}), flush=True)
 
+    # ---- phase 2: quantize, serving-full (primary), skip runs -------------
     mode = "bf16"
     if not args.bf16 and not args.smoke:
         from videopainter_tpu.quantize import quantize_transformer_int8
@@ -194,17 +261,19 @@ def main():
     use_flash_serv = use_flash_ref if (args.smoke or args.bf16) else "int8"
 
     serv = None
-    if args.ref_cache and os.path.exists(args.ref_cache):
-        z = np.load(args.ref_cache)
-        if np.array_equal(z["meta"], _cache_meta()) and "serv" in z \
-                and str(z["serv_mode"]) == mode:
-            serv, t_serv = z["serv"], float(z["t_serv"])
-            print(f"loaded {mode} serving-full from {args.ref_cache}")
+    if "serv" in cache and str(cache.get("serv_mode")) == mode:
+        serv, t_serv = cache["serv"], float(cache["t_serv"])
+        print(f"loaded {mode} serving-full from {args.ref_cache}")
     if serv is None:
-        serv, t_serv = run(params, use_flash_serv)
+        serv, t_serv = run(params, use_flash_serv, inputs_by_cfg[primary])
     if args.ref_cache:
-        np.savez(args.ref_cache, meta=_cache_meta(), ref=ref, t_bf16=t_bf16,
-                 serv=serv, t_serv=t_serv, serv_mode=mode)
+        save = {"meta": _cache_meta(), "serv": serv, "t_serv": t_serv,
+                "serv_mode": mode}
+        for c in configs:
+            save[f"ref_s{c[0]}_{c[1]}"] = refs[c]
+            save[f"t_ref_s{c[0]}_{c[1]}"] = t_bf16[c]
+        np.savez(args.ref_cache, **save)
+
     result = {
         "gate": f"step-skip cache on the {mode} serving path vs bf16 full-"
                 f"step trajectory, {args.layers}L flagship dims, REAL "
@@ -215,8 +284,9 @@ def main():
                    "error propagation through the real 42L arithmetic + "
                    "scheduler dynamics",
         "serving_mode": mode,
-        "serving_full_latent_psnr_vs_bf16_db": psnr(serv, ref),
-        "traj_wall_s": {"bf16_full": t_bf16, "serving_full": t_serv},
+        "serving_full_latent_psnr_vs_bf16_db": psnr(serv, refs[primary]),
+        "traj_wall_s": {"bf16_full": t_bf16[primary],
+                        "serving_full": t_serv},
         "schedules": {},
     }
     print(json.dumps({k: v for k, v in result.items() if k != "schedules"}),
@@ -225,11 +295,12 @@ def main():
     finals = {}
     for spec in args.schedules:
         skip = parse_skip_steps(spec, args.steps)
-        got, t_skip = run(params, use_flash_serv, skip=skip)
+        got, t_skip = run(params, use_flash_serv, inputs_by_cfg[primary],
+                          skip=skip)
         entry = {
             "skipped_steps": len(skip),
             "evaluated_steps": args.steps - len(skip),
-            "latent_psnr_vs_bf16_db": psnr(got, ref),
+            "latent_psnr_vs_bf16_db": psnr(got, refs[primary]),
             "latent_psnr_vs_serving_full_db": psnr(got, serv),
             "traj_wall_s": t_skip,
         }
@@ -237,9 +308,32 @@ def main():
         print(json.dumps({spec: entry}), flush=True)
         finals[spec] = got
 
-    # decoded-pixel leg, PER SCHEDULE: the reference eval protocol is pixels
-    # through the tiled VAE; bench headlines the most-skipped schedule whose
-    # latent AND pixel PSNR both clear the bar
+    # ---- robustness: headline schedule across (seed, geom) configs --------
+    headline = args.schedules[0]
+    robust = []
+    rob_finals = {}
+    if len(configs) > 1:
+        skip = parse_skip_steps(headline, args.steps)
+        for c in configs:
+            if c == primary:
+                continue
+            got, t_skip = run(params, use_flash_serv, inputs_by_cfg[c],
+                              skip=skip)
+            r = {"seed": c[0], "geom": c[1],
+                 "latent_psnr_vs_bf16_db": psnr(got, refs[c]),
+                 "traj_wall_s": t_skip}
+            robust.append(r)
+            rob_finals[c] = got
+            print(json.dumps({"robustness": r}), flush=True)
+        result["robustness"] = {
+            "schedule": headline,
+            "note": "each (seed, geom) pair has its OWN bf16 full-step "
+                    "reference trajectory; latent PSNR gated at the same "
+                    "35 dB bar as the primary config",
+            "configs": robust,
+        }
+
+    # ---- decoded-pixel + perceptual legs ----------------------------------
     del params
     gc.collect()
     from videopainter_tpu.config import VAEConfig
@@ -259,23 +353,124 @@ def main():
         y = vae.decode(vparams, z)
         return np.asarray(jnp.clip(y, -1, 1).astype(jnp.float32)) / 2 + 0.5
 
-    px_ref = decode(ref)
+    DEC_NOTE = ("random-init VAE decoder (no public ckpt in env): pixel "
+                "PSNR tracks latent PSNR through random conv features; it "
+                "is NOT an independent real-decoder sensitivity measure")
+    px_ref = decode(refs[primary])
+
+    # perceptual extractors: seeded-random weights committed with the test
+    # goldens (deterministic across runs); anchored by the 35 dB control
+    perceptual = not (args.no_perceptual or args.smoke)
+    if perceptual:
+        lpips_fn = _load_lpips()
+        clip_embed = _load_clip_embed()
+        # control: white noise at exactly the 35 dB gate bar on the
+        # reference pixels — the perceptual budget the PSNR bar tolerates
+        rng = np.random.RandomState(0)
+        sigma = 10.0 ** (-35.0 / 20.0)  # data_range 1.0
+        px_noise = np.clip(px_ref + rng.normal(
+            0, sigma, px_ref.shape).astype(np.float32), 0, 1)
+        ctrl = {
+            "psnr_db": round(float(psnr_np(px_noise, px_ref,
+                                           data_range=1.0)), 2),
+            "lpips": _video_lpips(lpips_fn, px_noise[0], px_ref[0]),
+            "temporal_consistency_ref": _video_tc(clip_embed, px_ref[0]),
+            "temporal_consistency_noise": _video_tc(clip_embed, px_noise[0]),
+        }
+        result["perceptual_anchor"] = {
+            "note": "white-noise control at the 35 dB PSNR bar; a schedule "
+                    "passes the perceptual leg when lpips_vs_bf16 <= the "
+                    "control lpips. Feature weights are seeded-random "
+                    "(tests/goldens) — scale is self-calibrated by the "
+                    "control, not comparable to pretrained-LPIPS values",
+            **ctrl,
+        }
+        print(json.dumps({"perceptual_anchor": ctrl}), flush=True)
+
     for spec, got in finals.items():
         px_got = decode(got)
         ssims = [ssim_np(px_got[0, t], px_ref[0, t], data_range=1.0)
                  for t in range(px_ref.shape[1])]
-        result["schedules"][spec]["pixel_psnr_db"] = round(
+        e = result["schedules"][spec]
+        e["pixel_psnr_db"] = round(
             float(psnr_np(px_got, px_ref, data_range=1.0)), 2)
-        result["schedules"][spec]["pixel_ssim"] = round(
-            float(np.mean(ssims)), 5)
+        e["pixel_ssim"] = round(float(np.mean(ssims)), 5)
+        e["pixel_decoder_weights"] = DEC_NOTE
+        if perceptual:
+            e["lpips_vs_bf16"] = _video_lpips(lpips_fn, px_got[0], px_ref[0])
+            e["temporal_consistency"] = _video_tc(clip_embed, px_got[0])
+            e["perceptual_pass"] = bool(
+                e["lpips_vs_bf16"] <= result["perceptual_anchor"]["lpips"])
+        print(json.dumps({spec: e}), flush=True)
+
+    # robustness pixel legs (per-config reference decode)
+    for c, got in rob_finals.items():
+        pr = decode(refs[c])
+        pg = decode(got)
+        for r in robust:
+            if (r["seed"], r["geom"]) == c:
+                r["pixel_psnr_db"] = round(
+                    float(psnr_np(pg, pr, data_range=1.0)), 2)
+        del pr, pg
+
     result["pixel_note"] = ("per-schedule final latents vs the bf16 "
                             "full-step final, all through the tiled VAE "
-                            "decode")
+                            "decode (random-init weights — see "
+                            "pixel_decoder_weights per schedule)")
+    # any-length interaction leg: measured separately on the product path
+    # (tools/smoke_chip_anyl.py --compare-full writes ANYL_SKIP.json)
+    anyl_path = os.path.join(_REPO, "ANYL_SKIP.json")
+    if os.path.exists(anyl_path):
+        try:
+            with open(anyl_path) as f:
+                result["anyl"] = json.load(f)
+            result["anyl"]["measured_by"] = \
+                "tools/smoke_chip_anyl.py --compare-full"
+        except Exception as e:
+            result["anyl"] = {"error": repr(e)}
     print(json.dumps(result, indent=1))
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
         f.write("\n")
     print(f"wrote {args.out}")
+
+
+def _load_lpips():
+    """LPIPS forward with the seeded-random SqueezeNet weights committed in
+    tests/goldens/lpips.npz (keys prefixed sd::)."""
+    from videopainter_tpu.evaluate.lpips import (convert_lpips_state_dict,
+                                                 lpips_forward)
+
+    z = np.load(os.path.join(_REPO, "tests", "goldens", "lpips.npz"))
+    sd = {k[4:]: z[k] for k in z.files if k.startswith("sd::")}
+    params = convert_lpips_state_dict(sd)
+    fwd = jax.jit(lpips_forward)
+
+    def fn(a01, b01):  # [T, H, W, 3] in [0,1] -> mean LPIPS over frames
+        a = jnp.asarray(a01, jnp.float32) * 2 - 1
+        b = jnp.asarray(b01, jnp.float32) * 2 - 1
+        return float(np.mean(np.asarray(fwd(params, a, b))))
+
+    return fn
+
+
+def _load_clip_embed():
+    """Frame-embedding fn from the committed tiny CLIP (random weights)."""
+    from videopainter_tpu.evaluate.extractors import ClipExtractor
+
+    ex = ClipExtractor(os.path.join(_REPO, "tests", "goldens", "clip_tiny"))
+    return ex.image_embed
+
+
+def _video_lpips(lpips_fn, a01, b01):
+    return round(lpips_fn(a01, b01), 6)
+
+
+def _video_tc(clip_embed, v01):
+    from videopainter_tpu.evaluate.metrics import temporal_consistency
+
+    embeds = np.stack([clip_embed(v01[t]) for t in range(v01.shape[0])])
+    return round(temporal_consistency(embeds), 6)
 
 
 if __name__ == "__main__":

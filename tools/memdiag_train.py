@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--bf16-branch", action="store_true",
                     help="bf16 trainable branch (no fp32 master weights): "
                          "~0.5 GiB less — the last squeeze for 42L@49f")
+    ap.add_argument("--remat-chunk", type=int, default=0,
+                    help="two-level remat group size (see "
+                         "BranchTrainConfig.remat_chunk)")
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=720)
     ap.add_argument("--frames", type=int, default=49)
@@ -70,7 +73,8 @@ def main():
 
     tcfg = BranchTrainConfig(height=args.height, width=args.width,
                              mask_add=True, remat=not args.no_remat,
-                             use_flash=not args.no_flash)
+                             use_flash=not args.no_flash,
+                             remat_chunk=args.remat_chunk or None)
     optimizer = make_optimizer(lr=1e-5, optimizer=args.optimizer)
     step = make_branch_train_step(transformer, branch, vae, sched, optimizer,
                                   tcfg)

@@ -53,7 +53,16 @@ def main():
                     help="store the compressed cross-window capture as "
                          "per-token int8 (+scales) — halves it again; "
                          "headroom for larger masks on one chip")
+    ap.add_argument("--compare-full", action="store_true",
+                    help="run the pipeline TWICE — with --skip_steps and "
+                         "without — same rng/noise, and report pixel PSNR "
+                         "between the outputs: the skip x cross-window-"
+                         "capture interaction leg, written to "
+                         "ANYL_SKIP.json (merged into GATE_skip.json by "
+                         "tools/gate_skip_flagship.py)")
     args = ap.parse_args()
+    if args.compare_full and not args.skip_steps:
+        ap.error("--compare-full requires --skip_steps")
 
     import jax
     import jax.numpy as jnp
@@ -143,31 +152,69 @@ def main():
 
     # NOTE: no progress_fn here — it rides jax.debug.callback, and the axon
     # PJRT tunnel does not support host callbacks (UNIMPLEMENTED).
-    t0 = time.time()
-    out = pipe(
-        params, video=video, masks=jnp.asarray(masks), image=video[:, 0],
-        num_frames=49, stride=args.stride,
-        prompt_embeds=embeds, negative_prompt_embeds=jnp.zeros_like(embeds),
-        num_inference_steps=args.steps, guidance_scale=6.0,
-        use_dynamic_cfg=True, replace_gt=True, mask_add=True,
-        id_pool_resample=args.resample, sequential_cfg=True,
-        capture_int8=args.capture_int8,
-        prev_clip_weight=0.3 if args.resample else 0.0,
-        rng=jax.random.PRNGKey(42),
-        use_flash=("int8" if args.int8_attn else True),
-        skip_steps=(parse_skip_steps(args.skip_steps, args.steps)
-                    if args.skip_steps else None),
-        stream_decode=args.stream_decode, dtype=dtype)
-    out = np.asarray(out)
-    wall = time.time() - t0
+    def run(skip_spec):
+        t0 = time.time()
+        out = pipe(
+            params, video=video, masks=jnp.asarray(masks), image=video[:, 0],
+            num_frames=49, stride=args.stride,
+            prompt_embeds=embeds,
+            negative_prompt_embeds=jnp.zeros_like(embeds),
+            num_inference_steps=args.steps, guidance_scale=6.0,
+            use_dynamic_cfg=True, replace_gt=True, mask_add=True,
+            id_pool_resample=args.resample, sequential_cfg=True,
+            capture_int8=args.capture_int8,
+            prev_clip_weight=0.3 if args.resample else 0.0,
+            rng=jax.random.PRNGKey(42),
+            use_flash=("int8" if args.int8_attn else True),
+            skip_steps=(parse_skip_steps(skip_spec, args.steps)
+                        if skip_spec else None),
+            stream_decode=args.stream_decode, dtype=dtype)
+        return np.asarray(out), time.time() - t0
+
+    out, wall = run(args.skip_steps)
     n_windows = (T - 49) // args.stride + 1
     assert out.shape == (B, T, H, W, 3), out.shape
     assert np.isfinite(out).all()
+    mode_str = (f"{'bf16' if args.bf16 else 'int8'}"
+                f"{'+int8attn' if args.int8_attn else ''}"
+                f"{'+resample' if args.resample else ''}"
+                f"{'+skip' if args.skip_steps else ''}")
     print(f"E2E OK: {out.shape}, {n_windows} windows, {wall:.1f}s wall "
-          f"({wall/n_windows:.1f}s/window incl. compile), "
-          f"mode={'bf16' if args.bf16 else 'int8'}"
-          f"{'+int8attn' if args.int8_attn else ''}"
-          f"{'+resample' if args.resample else ''}")
+          f"({wall/n_windows:.1f}s/window incl. compile), mode={mode_str}")
+
+    if args.compare_full:
+        # identical rng -> identical noise/trajectory inputs; the ONLY
+        # difference is the skip schedule, so the PSNR below isolates the
+        # skip x cross-window capture/resample interaction on the REAL
+        # product path (reference flagship: infer/inpaint.py:435-453)
+        out_full, wall_full = run(None)
+        a = (np.clip(out, -1, 1) + 1) / 2    # [0, 1] pixel space
+        b = (np.clip(out_full, -1, 1) + 1) / 2
+        mse = float(np.mean((a - b) ** 2))
+        ps = 10 * np.log10(1.0 / mse) if mse else float("inf")
+        import json
+
+        rec = {
+            "leg": "any-length skip-vs-full, same rng, same serving params "
+                   f"({mode_str.replace('+skip', '')})",
+            "frames": T, "windows": n_windows, "steps": args.steps,
+            "skip_schedule": args.skip_steps,
+            "skipped_steps": len(parse_skip_steps(args.skip_steps,
+                                                  args.steps)),
+            "pixel_psnr_skip_vs_full_db": round(ps, 2),
+            "wall_s": {"skip": round(wall, 1), "full": round(wall_full, 1)},
+            "note": "random weights; cross-window capture taken at the "
+                    "final (always-evaluated) step of each window — this "
+                    "leg checks the skip carry does not corrupt the "
+                    "window handoff at production dims on one chip",
+        }
+        path = os.path.join(os.path.dirname(__file__), "..",
+                            "ANYL_SKIP.json")
+        with open(path, "w") as f:
+            json.dump(rec, f, indent=1)
+            f.write("\n")
+        print(json.dumps(rec))
+        print(f"wrote {path}")
 
 
 if __name__ == "__main__":

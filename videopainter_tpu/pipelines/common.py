@@ -119,13 +119,23 @@ def uniform_skip_steps(num_steps: int, start: int, end: int,
 
 def parse_skip_steps(spec: str, num_steps: int) -> Tuple[int, ...]:
     """CLI spelling for skip schedules: "start:end:stride" (uniform window)
-    or a comma list of explicit indices ("11,13,15")."""
+    or a comma list of explicit indices ("11,13,15").
+
+    The comma list is deduped and range-checked HERE so every consumer
+    (bench.py's n_skip arithmetic included) sees a validated schedule —
+    a spec like "5,5,7" or "60" must not inflate the reported skip count.
+    """
     if ":" in spec:
         parts = [int(x) for x in spec.split(":")]
         start, end = parts[0], parts[1]
         stride = parts[2] if len(parts) > 2 else 2
         return uniform_skip_steps(num_steps, start, end, stride)
-    return tuple(sorted(int(x) for x in spec.split(",") if x.strip()))
+    steps = tuple(sorted({int(x) for x in spec.split(",") if x.strip()}))
+    for si in steps:
+        if not (0 <= si < num_steps):
+            raise ValueError(
+                f"skip step {si} out of range [0, {num_steps})")
+    return steps
 
 
 def capture_token_indices(mask: jnp.ndarray, patch_size: int, text_len: int,
@@ -484,6 +494,14 @@ def make_denoise_fn(transformer, branch, scheduler, dcfg: DenoiseConfig,
             _rm[si] = False
         if not _rm[0]:
             raise ValueError("step 0 cannot be skipped (nothing cached yet)")
+        if dcfg.capture_hidden_states and not _rm[S - 1]:
+            # the capture step runs OUTSIDE the scan and always evaluates
+            # fully (cross-window states must come from a real forward);
+            # silently ignoring a listed skip here would misreport the
+            # schedule — fail loudly like the step-0/out-of-range checks.
+            raise ValueError(
+                f"step {S - 1} cannot be skipped with capture_hidden_states: "
+                "the final (capture) step always evaluates the model")
         run_mask = jnp.asarray(_rm)
     else:
         run_mask = None
