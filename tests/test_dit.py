@@ -332,6 +332,10 @@ def test_remat_chunk_matches_flat_scan():
     np.testing.assert_allclose(float(v_chunk), float(v_flat), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g_chunk), np.asarray(g_flat),
                                rtol=1e-5, atol=1e-6)
-    # non-divisible chunk falls back to the flat scan (same result)
-    v_odd = loss(hidden, 3)
+    # non-divisible chunk: the LAST group is smaller (4 -> groups 3, 1);
+    # value AND gradient must still match the flat scan exactly (an earlier
+    # version silently fell back to the flat scan here — a quiet no-op)
+    v_odd, g_odd = jax.value_and_grad(lambda h: loss(h, 3))(hidden)
     np.testing.assert_allclose(float(v_odd), float(v_flat), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_odd), np.asarray(g_flat),
+                               rtol=1e-5, atol=1e-6)

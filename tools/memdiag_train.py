@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--remat-chunk", type=int, default=0,
                     help="two-level remat group size (see "
                          "BranchTrainConfig.remat_chunk)")
+    ap.add_argument("--licm-ratio", type=float, default=0.0,
+                    help="xla_tpu_licm_size_inflation_ratio compiler option "
+                         "(<1 discourages hoisting the backward's whole-"
+                         "stack W^T transpose copies out of the layer loop)")
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=720)
     ap.add_argument("--frames", type=int, default=49)
@@ -130,20 +134,30 @@ def main():
             "optimizer": args.optimizer,
             "bf16_branch": bool(args.bf16_branch),
             "flash": not args.no_flash, "remat": not args.no_remat}
+    copts = ({"xla_tpu_licm_size_inflation_ratio": str(args.licm_ratio)}
+             if args.licm_ratio else None)
+    if copts:
+        base["licm_ratio"] = args.licm_ratio
     try:
-        compiled = lowered.compile()
+        compiled = (lowered.compile(compiler_options=copts) if copts
+                    else lowered.compile())
     except Exception as e:  # the axon compiler enforces the 15.75G HBM cap
         import re
 
         msg = str(e)
         m = re.search(r"Used ([\d.]+)G of ([\d.]+)G hbm", msg)
         frag = re.search(r"([\d.]+)% fragmentation \(([\d.]+)G\)", msg)
+        # surface the per-buffer breakdown XLA embeds in the OOM message —
+        # "Largest program allocations in hbm:" names each offender
+        alloc_idx = msg.find("Largest program allocations")
+        allocs = msg[alloc_idx:alloc_idx + 6000] if alloc_idx >= 0 else None
         print(json.dumps(dict(base, fits=False,
                               used_gib=float(m.group(1)) if m else None,
                               capacity_gib=float(m.group(2)) if m else None,
                               temp_fragmentation_gib=(float(frag.group(2))
                                                       if frag else None),
-                              error=msg[:200])))
+                              error=msg[:200],
+                              largest_allocations=allocs)))
         return
     ma = compiled.memory_analysis()
     gib = 1024 ** 3

@@ -37,10 +37,130 @@ def categorize(name: str) -> str:
     return "other"
 
 
+def report(out_dir: str, region: str) -> None:
+    traces = sorted(glob.glob(os.path.join(
+        out_dir, region, "plugins", "profile", "*", "*trace.json.gz")),
+        key=os.path.getmtime)
+    if not traces:
+        print("no trace found under", out_dir)
+        return
+    with gzip.open(traces[-1], "rt") as f:
+        trace = json.load(f)
+    cats = collections.Counter()
+    ops = collections.Counter()
+    total = 0.0
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") != "X" or "dur" not in ev:
+            continue
+        name = ev.get("name", "")
+        arg = ev.get("args") or {}
+        # device-lane events carry 'run_id'/'hlo' style args; host lanes don't
+        if "hlo_category" in arg or "long_name" in arg or "hlo" in str(arg)[:64]:
+            dur = ev["dur"] / 1e3  # ms
+            cats[arg.get("hlo_category") or categorize(name)] += dur
+            ops[name[:60]] += dur
+            total += dur
+    print(f"\ndevice op time total: {total:.1f} ms")
+    for k, v in cats.most_common(12):
+        print(f"  {k:<36} {v:9.1f} ms  {100*v/total:5.1f}%")
+    print("\ntop ops:")
+    for k, v in ops.most_common(15):
+        print(f"  {k:<60} {v:8.1f} ms")
+
+
+def profile_train(args):
+    """Profile ONE flagship training step (the TRUE 42L serving-train config:
+    int8-STE frozen backbone + bf16 branch + adafactor + precomputed
+    latents, flash fwd+bwd, remat). Round-4 measured 18.01 s/step but the
+    split fwd/bwd/optimizer/STE-quantize was never profiled — this answers
+    where the next training lever is."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from videopainter_tpu.config import (BranchConfig, SchedulerConfig,
+                                         TransformerConfig, VAEConfig)
+    from videopainter_tpu.models import (AutoencoderKLCogVideoX,
+                                         CogVideoXBranch,
+                                         CogVideoXTransformer3D)
+    from videopainter_tpu.schedulers import CogVideoXDDIMScheduler
+    from videopainter_tpu.training import (BranchTrainConfig,
+                                           encode_batch_latent_moments,
+                                           init_branch_train_state,
+                                           make_branch_train_step,
+                                           make_optimizer)
+    from videopainter_tpu.utils.profiling import profile_region
+
+    cfg = TransformerConfig.cogvideox_5b_i2v(num_layers=args.layers)
+    bcfg = BranchConfig.from_transformer(cfg, num_layers=2)
+    transformer = CogVideoXTransformer3D(cfg)
+    branch = CogVideoXBranch(bcfg)
+    vae = AutoencoderKLCogVideoX(VAEConfig())
+    vae.enable_tiling()
+    sched = CogVideoXDDIMScheduler(
+        SchedulerConfig(prediction_type="v_prediction"))
+    dtype = jnp.bfloat16
+
+    @jax.jit
+    def _build(k0, k1, pos):
+        tp = transformer.init(k0, dtype=dtype, pos_embedding=pos)
+        bp = branch.init_from_transformer(k1, tp, cfg, dtype=jnp.bfloat16)
+        return {"transformer": tp, "branch": bp}
+
+    params = _build(jax.random.PRNGKey(0), jax.random.PRNGKey(1),
+                    transformer.host_pos_embedding())
+    jax.block_until_ready(params)
+    from videopainter_tpu.quantize import quantize_transformer_int8
+
+    params["transformer"] = quantize_transformer_int8(
+        params["transformer"], free_source=True)
+    params["vae"] = jax.jit(lambda k: vae.init(k, dtype=dtype))(
+        jax.random.PRNGKey(2))
+    jax.block_until_ready(params["vae"])
+
+    tcfg = BranchTrainConfig(height=480, width=720, mask_add=True,
+                             remat=True, use_flash=True)
+    optimizer = make_optimizer(lr=1e-5, optimizer="adafactor")
+    state = init_branch_train_state(params.pop("branch"), optimizer)
+    train_step = make_branch_train_step(transformer, branch, vae, sched,
+                                        optimizer, tcfg)
+    frozen = {"transformer": params["transformer"], "vae": params["vae"]}
+
+    T = 49
+    rng = np.random.RandomState(0)
+    batch = {
+        "pixel_values": jnp.asarray(rng.rand(1, T, 480, 720, 3), dtype) * 2 - 1,
+        "conditioning_pixel_values": jnp.asarray(
+            rng.rand(1, T, 480, 720, 3), dtype) * 2 - 1,
+        "masks": jnp.asarray((rng.rand(1, T, 480, 720) > 0.75), jnp.float32),
+        "prompt_embeds": jnp.asarray(rng.rand(1, 226, 4096), dtype),
+    }
+    batch = encode_batch_latent_moments(vae, params["vae"], batch)
+    jax.block_until_ready(batch["video_latent_mean"])
+
+    t0 = _t.time()
+    state, metrics = train_step(state, frozen, batch, jax.random.PRNGKey(4))
+    print(f"compile+first step: {_t.time()-t0:.1f}s "
+          f"loss={float(metrics['total_loss']):.4f}")
+    t0 = _t.time()
+    with profile_region("train_step", args.out):
+        state, metrics = train_step(state, frozen, batch,
+                                    jax.random.PRNGKey(5))
+        float(metrics["total_loss"])
+    print(f"train step wall: {_t.time()-t0:.2f}s")
+    report(args.out, "train_step")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=42)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--train", action="store_true",
+                    help="profile the flagship TRAIN step (int8-STE backbone "
+                         "+ bf16 branch + adafactor + precomputed latents) "
+                         "instead of the denoise step")
     ap.add_argument("--out", default="/tmp/jax_trace_step")
     args = ap.parse_args()
 
@@ -50,6 +170,9 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_vp_bench"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    if args.train:
+        return profile_train(args)
 
     from videopainter_tpu.config import BranchConfig, TransformerConfig
     from videopainter_tpu.models import CogVideoXBranch, CogVideoXTransformer3D
@@ -114,36 +237,7 @@ def main():
         lat = jstep(params, lat, masked, image_latents, mask, embeds, rope, t)
         float(jnp.sum(lat.astype(jnp.float32)))
     print(f"step wall: {time.time()-t0:.2f}s")
-
-    traces = sorted(glob.glob(os.path.join(
-        args.out, "step", "plugins", "profile", "*", "*trace.json.gz")),
-        key=os.path.getmtime)
-    if not traces:
-        print("no trace found under", args.out)
-        return
-    with gzip.open(traces[-1], "rt") as f:
-        trace = json.load(f)
-    cats = collections.Counter()
-    ops = collections.Counter()
-    total = 0.0
-    for ev in trace.get("traceEvents", []):
-        if ev.get("ph") != "X" or "dur" not in ev:
-            continue
-        pid_name = ev.get("pid")
-        name = ev.get("name", "")
-        arg = ev.get("args") or {}
-        # device-lane events carry 'run_id'/'hlo' style args; host lanes don't
-        if "hlo_category" in arg or "long_name" in arg or "hlo" in str(arg)[:64]:
-            dur = ev["dur"] / 1e3  # ms
-            cats[arg.get("hlo_category") or categorize(name)] += dur
-            ops[name[:60]] += dur
-            total += dur
-    print(f"\ndevice op time total: {total:.1f} ms")
-    for k, v in cats.most_common(12):
-        print(f"  {k:<36} {v:9.1f} ms  {100*v/total:5.1f}%")
-    print("\ntop ops:")
-    for k, v in ops.most_common(15):
-        print(f"  {k:<60} {v:8.1f} ms")
+    report(args.out, "step")
 
 
 if __name__ == "__main__":

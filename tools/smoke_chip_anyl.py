@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--int8_attn", action="store_true",
                     help="SageAttention-style int8-QK^T flash attention "
                          "(the full production fast mode)")
+    ap.add_argument("--scales", default=None,
+                    help="calibrated static activation scales .npz "
+                         "(calib_ascales.npz) — the int8+ascale headline "
+                         "serving config (quantize.attach_static_ascale)")
     ap.add_argument("--skip_steps", default=None,
                     help='step-skip cache schedule "start:end:stride" '
                          "(gated via GATE_skip.json; the anyl capture step "
@@ -139,6 +143,14 @@ def main():
         params = compact_params(params)
         print(f"int8 quantize: {time.time()-t0:.1f}s, "
               f"{sum(x.nbytes for x in jax.tree.leaves(params))/2**30:.2f} GiB")
+        if args.scales:
+            from videopainter_tpu.quantize import (attach_static_ascale,
+                                                   load_ascales)
+
+            scales = load_ascales(args.scales)
+            params = {k: attach_static_ascale(v, scales[k])
+                      if k in scales else v for k, v in params.items()}
+            print(f"attached static ascales from {args.scales}")
 
     pipe = CogVideoXI2VDualInpaintAnyLPipeline(transformer, branch, vae, sched)
 

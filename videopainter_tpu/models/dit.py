@@ -559,7 +559,7 @@ class CogVideoXTransformer3D:
         layer_ids = jnp.arange(n_layers)
         xs = (params["blocks"], layer_ids)
         if (remat and remat_chunk and not calibrate
-                and remat_chunk < n_layers and n_layers % remat_chunk == 0):
+                and remat_chunk < n_layers):
             # Two-level (sqrt) rematerialization: the flat scan's backward
             # keeps every layer's carry resident ([L, B, S_pad, D] x2 —
             # ~5 GB bf16 at 42L flagship dims), part of what OOMs bf16
@@ -579,21 +579,43 @@ class CogVideoXTransformer3D:
             # the reshaped tree is a COMPUTED value, so remat saved a full
             # HLO-temp COPY of every kernel stack: +6x756 MB on chip,
             # measured OOM at 42L. Do not reintroduce the reshape.)
-            g = n_layers // remat_chunk
+            # ceil-divide: the LAST group may be smaller (42 % 7 == 0 but
+            # e.g. 32 with chunk 7 gets groups 7,7,7,7,4). An earlier
+            # version silently fell back to the flat scan on non-divisible
+            # depths — a quiet no-op that made "rc7" ladder rungs at 32/24L
+            # run without grouping at all.
+            g = -(-n_layers // remat_chunk)
 
-            def group_fn(carry, blocks_all, lo):
-                xs_g = jax.tree.map(
-                    lambda x: jax.lax.slice_in_dim(x, lo, lo + remat_chunk,
-                                                   axis=0), blocks_all)
-                return jax.lax.scan(scan_body, carry,
-                                    (xs_g, layer_ids[lo:lo + remat_chunk]))
+            def group_fn(carry, blocks_all, lo, size):
+                # gather ONE layer's params at a time inside the inner scan.
+                # A group-sized lax.slice here materializes [chunk, d, 4d]
+                # kernel copies as HLO temps, and XLA schedules every
+                # group's slices concurrently: measured 288 MB x ~2/group
+                # x G groups (~5 GiB at 28L, ~9 GiB at 42L) — the real
+                # reason the bf16 ladder kept OOMing WITH remat_chunk. A
+                # per-layer dynamic gather is one ~220 MB transient that
+                # dies inside the (rematerialized) block.
+                def body(c, li):
+                    bp = jax.tree.map(
+                        lambda x: jax.lax.dynamic_index_in_dim(
+                            x, li, axis=0, keepdims=False), blocks_all)
+                    # barrier: without it XLA hoists the backward's W^T
+                    # layout transposes out of the loop and materializes
+                    # whole-stack [L, d, d] copies (3 x 576 MB at 32L,
+                    # measured) — trade a per-layer ~18 MB transient
+                    # transpose for GiBs of resident copies
+                    bp = jax.lax.optimization_barrier(bp)
+                    return scan_body(c, (bp, li))
 
-            group_ckpt = jax.checkpoint(group_fn, static_argnums=(2,))
+                return jax.lax.scan(body, carry, layer_ids[lo:lo + size])
+
+            group_ckpt = jax.checkpoint(group_fn, static_argnums=(2, 3))
             carry = (h, enc_h)
             ys_groups = []
             for gi in range(g):
-                carry, ys = group_ckpt(carry, params["blocks"],
-                                       gi * remat_chunk)
+                lo = gi * remat_chunk
+                carry, ys = group_ckpt(carry, params["blocks"], lo,
+                                       min(remat_chunk, n_layers - lo))
                 ys_groups.append(ys)
             h, enc_h = carry
             hs_list = None
