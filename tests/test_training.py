@@ -440,3 +440,51 @@ def test_trainer_loop_with_mesh(tiny_stack, tmp_path):
                     if hasattr(leaf, "sharding")
                     and "data" in str(leaf.sharding.spec))
     assert n_sharded > 0, "no optimizer moment leaf sharded over data"
+
+
+def test_remat_chunk_train_step_tp_sharded_matches():
+    """remat_chunk's per-layer dynamic param gather (models/dit.py) must
+    compose with TP-sharded stacked params: the sharded grouped-remat train
+    loss equals the unsharded flat-remat loss. Non-divisible depth (5 with
+    chunk 2) exercises the remainder group under GSPMD."""
+    from videopainter_tpu.parallel import make_mesh
+    from videopainter_tpu.parallel.inference import shard_inference_params
+
+    cfg = TransformerConfig.tiny(num_attention_heads=4, attention_head_dim=16,
+                                 in_channels=32, out_channels=16,
+                                 num_layers=5, sample_height=8,
+                                 sample_width=12)
+    bcfg = BranchConfig.from_transformer(cfg, num_layers=2)
+    transformer = CogVideoXTransformer3D(cfg)
+    branch = CogVideoXBranch(bcfg)
+    vae = AutoencoderKLCogVideoX(VAE_CFG)
+    sched = CogVideoXDDIMScheduler(SchedulerConfig(prediction_type="v_prediction"))
+    tp = transformer.init(jax.random.PRNGKey(0))
+    bp = branch.init_from_transformer(jax.random.PRNGKey(1), tp, cfg)
+    vp = vae.init(jax.random.PRNGKey(2))
+    optimizer = make_optimizer(lr=1e-3)
+    batch = make_batch()
+
+    def run(frozen_tp, frozen_vp, trainable, rc, mesh=None):
+        tcfg = BranchTrainConfig(height=64, width=96, mask_add=True,
+                                 remat=True, remat_chunk=rc)
+        step = make_branch_train_step(transformer, branch, vae, sched,
+                                      optimizer, tcfg)
+        state = init_branch_train_state(jax.tree.map(jnp.copy, trainable),
+                                        optimizer)
+        frozen = {"transformer": frozen_tp, "vae": frozen_vp}
+        if mesh is None:
+            _, m = step(state, frozen, batch, jax.random.PRNGKey(7))
+        else:
+            with mesh:
+                _, m = step(state, frozen, batch, jax.random.PRNGKey(7))
+        return float(m["total_loss"])
+
+    ref = run(tp, vp, bp, None)
+
+    mesh = make_mesh(data=1, seq=1, model=2, devices=jax.devices()[:2])
+    sharded = shard_inference_params(
+        {"transformer": tp, "vae": vp, "branch": bp}, mesh)
+    got = run(sharded["transformer"], sharded["vae"], sharded["branch"], 2,
+              mesh=mesh)
+    np.testing.assert_allclose(got, ref, rtol=2e-5)
