@@ -172,3 +172,72 @@ def test_all_rungs_fail_emits_error(bench, monkeypatch, capsys):
     assert lines[-1]["value"] == 0.0
     assert "failed" in lines[-1]["error"]
     assert lines[-1]["detail"]["rungs"]
+
+
+def _write_gates(path, skip_entry=None, anchor=None, robustness=None,
+                 skip_raw=None):
+    (path / "GATE_int8.json").write_text(json.dumps({
+        "steps": 50, "layers": 42,
+        "latent": {"psnr_db": 59.2}, "pixel": {"psnr_db": 57.1},
+        "static_ascale": {"latent_psnr_vs_bf16_db": 58.9},
+    }))
+    (path / "calib_ascales.npz").write_bytes(b"x")
+    if skip_raw is not None:
+        (path / "GATE_skip.json").write_text(skip_raw)
+        return
+    gate = {"serving_mode": "int8+ascale",
+            "schedules": {"4:48:4": skip_entry} if skip_entry else {}}
+    if anchor:
+        gate["perceptual_anchor"] = anchor
+    if robustness:
+        gate["robustness"] = robustness
+    (path / "GATE_skip.json").write_text(json.dumps(gate))
+
+
+def test_gated_rungs_perceptual_and_robustness(bench, monkeypatch, tmp_path):
+    """Round-5 skip-gate eligibility: the LPIPS-vs-noise-control bound and
+    the multi-seed/mask robustness legs must both hold or the skip rung is
+    dropped (falling back to the no-skip ascale rung)."""
+    monkeypatch.setattr(bench, "_REPO", str(tmp_path))
+    ok_entry = {"skipped_steps": 33, "evaluated_steps": 17,
+                "latent_psnr_vs_bf16_db": 52.1, "pixel_psnr_db": 39.5,
+                "lpips_vs_bf16": 0.002}
+    anchor = {"lpips": 0.005}
+    rob = {"schedule": "4:48:4",
+           "configs": [{"seed": 1, "geom": "tall",
+                        "latent_psnr_vs_bf16_db": 48.0}]}
+
+    _write_gates(tmp_path, ok_entry, anchor, rob)
+    rungs, info = bench._gated_serving_rungs()
+    assert rungs[0][0] == "int8_ascale_skip_42L"
+    assert info["skip_gate"]["lpips_noise35_control"] == 0.005
+    assert info["skip_gate"]["robustness_min_latent_psnr_db"] == 48.0
+
+    # LPIPS above the noise control -> skip rung dropped
+    bad = dict(ok_entry, lpips_vs_bf16=0.02)
+    _write_gates(tmp_path, bad, anchor, rob)
+    rungs, info = bench._gated_serving_rungs()
+    assert rungs[0][0] == "int8_ascale_serving_42L"
+
+    # one robustness config below the 35 dB bar -> dropped
+    rob_bad = {"schedule": "4:48:4",
+               "configs": [{"seed": 2, "geom": "rect",
+                            "latent_psnr_vs_bf16_db": 31.0}]}
+    _write_gates(tmp_path, ok_entry, anchor, rob_bad)
+    rungs, info = bench._gated_serving_rungs()
+    assert rungs[0][0] == "int8_ascale_serving_42L"
+
+
+def test_gate_artifacts_unreadable_is_loud(bench, monkeypatch, tmp_path):
+    """Malformed gate artifacts must not silently drop rungs: a broken
+    GATE_skip.json records skip_gate_error; a broken GATE_int8.json drops
+    to bf16 with status 'unreadable' (GATE consumption-control rule)."""
+    monkeypatch.setattr(bench, "_REPO", str(tmp_path))
+    _write_gates(tmp_path, skip_raw="{not json")
+    rungs, info = bench._gated_serving_rungs()
+    assert rungs[0][0] == "int8_ascale_serving_42L"
+    assert "skip_gate_error" in info
+
+    (tmp_path / "GATE_int8.json").write_text("{broken")
+    rungs, info = bench._gated_serving_rungs()
+    assert rungs == [] and info["status"] == "unreadable"
