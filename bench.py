@@ -174,6 +174,15 @@ def _gated_serving_rungs():
                             r.get("latent_psnr_vs_bf16_db", 0.0) < MIN_PSNR_DB
                             for r in rob.get("configs", [])):
                         continue
+                    # when the artifact carries a robustness section, a
+                    # schedule MORE aggressive than the robustness-gated one
+                    # is not headline-eligible (its multi-seed/mask behavior
+                    # is unverified — rerun the gate with it listed first)
+                    if rob.get("configs") and rob.get("schedule") in (
+                            sgate.get("schedules") or {}) and \
+                            e["skipped_steps"] > sgate["schedules"][
+                                rob["schedule"]]["skipped_steps"]:
+                        continue
                     if (e.get("latent_psnr_vs_bf16_db", 0.0) >= MIN_PSNR_DB
                             and pix is not None and pix >= MIN_PSNR_DB
                             and (best is None or e["skipped_steps"]

@@ -241,3 +241,36 @@ def test_gate_artifacts_unreadable_is_loud(bench, monkeypatch, tmp_path):
     (tmp_path / "GATE_int8.json").write_text("{broken")
     rungs, info = bench._gated_serving_rungs()
     assert rungs == [] and info["status"] == "unreadable"
+
+
+def test_gated_rungs_aggressive_schedule_needs_robustness(bench, monkeypatch,
+                                                          tmp_path):
+    """A schedule MORE aggressive than the robustness-gated one must not
+    headline, even if its own single-config legs pass."""
+    monkeypatch.setattr(bench, "_REPO", str(tmp_path))
+    (tmp_path / "GATE_int8.json").write_text(json.dumps({
+        "latent": {"psnr_db": 59.2}, "pixel": {"psnr_db": 57.1},
+        "static_ascale": {"latent_psnr_vs_bf16_db": 58.9}}))
+    (tmp_path / "calib_ascales.npz").write_bytes(b"x")
+    mk = lambda n, p: {"skipped_steps": n, "latent_psnr_vs_bf16_db": 52.0,
+                       "pixel_psnr_db": p, "lpips_vs_bf16": 0.0002}
+    (tmp_path / "GATE_skip.json").write_text(json.dumps({
+        "serving_mode": "int8+ascale",
+        "schedules": {"4:48:4": mk(33, 39.5), "4:48:5": mk(35, 38.4)},
+        "perceptual_anchor": {"lpips": 0.0015},
+        "robustness": {"schedule": "4:48:4", "configs": [
+            {"seed": 1, "geom": "tall", "latent_psnr_vs_bf16_db": 53.7}]},
+    }))
+    rungs, info = bench._gated_serving_rungs()
+    assert info["skip_gate"]["schedule"] == "4:48:4"  # not the 35-skip
+
+    # robustness moved onto the aggressive schedule -> it becomes eligible
+    (tmp_path / "GATE_skip.json").write_text(json.dumps({
+        "serving_mode": "int8+ascale",
+        "schedules": {"4:48:4": mk(33, 39.5), "4:48:5": mk(35, 38.4)},
+        "perceptual_anchor": {"lpips": 0.0015},
+        "robustness": {"schedule": "4:48:5", "configs": [
+            {"seed": 1, "geom": "tall", "latent_psnr_vs_bf16_db": 52.5}]},
+    }))
+    rungs, info = bench._gated_serving_rungs()
+    assert info["skip_gate"]["schedule"] == "4:48:5"
